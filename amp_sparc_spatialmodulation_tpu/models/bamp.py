@@ -1,0 +1,141 @@
+"""Bayesian AMP decoder — pure-functional, batched, early-stopping.
+
+Capability parity with the reference BAMP (``/root/reference/bamp.py``):
+per-element-variance AMP with full Onsager correction (`bamp.py:48-64`), the
+segmented softmax denoiser with its ``tau/2`` calibration (`bamp.py:66-77`)
+or the i.i.d. Bernoulli-mixture denoiser in ``random`` mode
+(`bamp.py:79-97`), iteration cap ``N_Layers`` with ``allclose`` early
+stopping on the posterior variance (`bamp.py:136-141`), and the reported
+iteration count ``t+1`` (`bamp.py:142`).
+
+TPU-first design:
+
+* State is an immutable pytree driven by ``lax.while_loop`` — one trace, no
+  host round-trips inside the decode.
+* Trials are batched: all state is ``(B, ·)`` and every mat-vec of the
+  reference becomes a single ``(B, n) x (n, N)`` MXU matmul shared across
+  the batch (the reference decodes ``B=1`` serially).
+* Early stopping is per-trial: converged trials freeze (their state stops
+  updating, preserving the reference's reported ``T`` semantics) while the
+  rest of the batch keeps iterating; the loop exits when all trials have
+  converged or the cap is reached.
+* Matmul precision defaults to ``HIGHEST`` (f32 on the MXU) — AMP's
+  convergence test is at 1e-5 relative tolerance, too tight for bf16 passes.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import Config
+from ..ops import denoise
+
+# torch.allclose defaults (`bamp.py:140`)
+_RTOL = 1e-5
+_ATOL = 1e-8
+
+
+class BAMPState(NamedTuple):
+    xmap: jnp.ndarray    # (B, N) complex — pseudo-data r
+    xmmse: jnp.ndarray   # (B, N) complex — posterior mean
+    var: jnp.ndarray     # (B, N) f32    — posterior variance
+    z: jnp.ndarray       # (B, n) complex — corrected residual
+    u: jnp.ndarray       # (B, n) f32    — residual variance + sigma2
+    active: jnp.ndarray  # (B,)  bool    — not yet converged
+    T: jnp.ndarray       # (B,)  int32   — iterations run per trial
+    t: jnp.ndarray       # ()    int32   — global iteration counter
+
+
+class DecodeResult(NamedTuple):
+    xmap: jnp.ndarray
+    xmmse: jnp.ndarray
+    var: jnp.ndarray
+    T: jnp.ndarray       # (B,) int32 per-trial iterations (reference `t+1`)
+
+
+def _allclose_rows(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Per-trial ``torch.allclose(a, b)`` (`bamp.py:140`)."""
+    return jnp.all(jnp.abs(a - b) <= _ATOL + _RTOL * jnp.abs(b), axis=-1)
+
+
+def _freeze(mask, new, old):
+    """Keep ``old`` for trials that already converged."""
+    return jnp.where(mask[:, None] if new.ndim == 2 else mask, new, old)
+
+
+def make_denoiser(cfg: Config):
+    """Denoiser selected statically from config (`bamp.py:43-46`)."""
+    symbols = jnp.asarray(cfg.symbols)
+    if cfg.mode in ("segmented", "sparc"):
+        return partial(denoise.segmented_posterior, symbols=symbols,
+                       L=cfg.L, M=cfg.M, halve_tau=True,
+                       variance="decomposed")
+    return partial(denoise.bernoulli_mixture_posterior, symbols=symbols,
+                   Ps=cfg.Ps, P0=cfg.P0)
+
+
+def decode(H: jnp.ndarray, y: jnp.ndarray, sigma2, cfg: Config,
+           *, precision=lax.Precision.HIGHEST) -> DecodeResult:
+    """Run BAMP on a batch of trials sharing one channel matrix.
+
+    Args:
+        H: (n, N) measurement matrix (dense).
+        y: (B, n) received vectors.
+        sigma2: scalar noise variance ``(Na/Nr)/SNR`` (`bamp.py:134`).
+        cfg: static system config.
+
+    Returns:
+        :class:`DecodeResult` with per-trial iteration counts.
+    """
+    B = y.shape[0]
+    n, N = H.shape
+    mm = partial(jnp.matmul, precision=precision)
+    denoiser = make_denoiser(cfg)
+
+    Ht = H.T                      # (N, n): x @ Ht == (H @ x^T)^T
+    Hc = jnp.conj(H)              # (n, N): r @ Hc == (H^H r^T)^T
+    abs2 = jnp.abs(H) ** 2        # (n, N) f32
+    abs2_t = abs2.T
+
+    sigma2 = jnp.asarray(sigma2, jnp.float32)
+    state0 = BAMPState(
+        xmap=jnp.zeros((B, N), H.dtype),
+        xmmse=jnp.zeros((B, N), H.dtype),
+        var=jnp.ones((B, N), jnp.float32),
+        z=y,
+        u=jnp.full((B, n), sigma2, jnp.float32),
+        active=jnp.ones((B,), bool),
+        T=jnp.zeros((B,), jnp.int32),
+        t=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s: BAMPState):
+        return jnp.logical_and(s.t < cfg.N_Layers, jnp.any(s.active))
+
+    def body(s: BAMPState) -> BAMPState:
+        # One AMP iteration (`bamp.py:59-64`).
+        v = mm(s.var, abs2_t)                                    # (B, n)
+        z = mm(s.xmmse, Ht) - (v * (y - s.z) / s.u).astype(H.dtype)
+        u = v + sigma2
+        cov = 1.0 / mm(1.0 / u, abs2)                            # (B, N)
+        resid = ((y - z) / u).astype(H.dtype)
+        xmap = s.xmmse + cov * mm(resid, Hc)
+        xmmse, var = denoiser(xmap, cov)
+        converged = _allclose_rows(var, s.var)
+        return BAMPState(
+            xmap=_freeze(s.active, xmap, s.xmap),
+            xmmse=_freeze(s.active, xmmse, s.xmmse),
+            var=_freeze(s.active, var, s.var),
+            z=_freeze(s.active, z, s.z),
+            u=_freeze(s.active, u, s.u),
+            active=s.active & ~converged,
+            T=jnp.where(s.active, s.t + 1, s.T),
+            t=s.t + 1,
+        )
+
+    s = lax.while_loop(cond, body, state0)
+    return DecodeResult(xmap=s.xmap, xmmse=s.xmmse, var=s.var, T=s.T)

@@ -1,0 +1,117 @@
+"""Spatially-coupled SPARC AMP (SCAMP) decoder.
+
+Capability parity with the reference ``/root/reference/scamp.py``: AMP on
+the base matrix ``W (Lout, Lin)`` + measurement matrix ``A`` with section
+variances ``psi (B, Lin)``, residual variances ``phi (B, Lout)`` initialized
+to infinity (`scamp.py:21-22`), the Onsager-corrected residual
+``z = y - A xmmse + (gma/phi) (x) z`` (`scamp.py:45-48`), effective noise
+``tau = L / (W^T (1/phi)) / Mr`` (`scamp.py:52`), the posterior-mean-only
+segmented denoiser with ``tau/2`` (`scamp.py:61-68`), section-variance
+update ``psi = 1 - sum |xmmse|^2 / Na`` per channel use (`scamp.py:59`),
+and ``allclose`` early stop on ``psi`` (`scamp.py:101-106`).
+
+Additionally implements the empirical-residual-variance variant
+(``estimate_phi=True``) from the reference's NumPy twin ``estSCAMP``
+(`sparc.py:180-204`): ``phi = mean(|z|^2)`` per output block instead of
+``sigma2 + gma`` — a capability absent from the reference's torch SCAMP.
+
+TPU-first design: same batched-trial, per-trial-early-stop structure as the
+other decoders; the small ``(Lout, Lin)`` base-matrix products and the two
+big ``A`` mat-vecs are MXU matmuls over the trial batch; block
+``repeat_interleave`` expansions become reshapes/broadcasts.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import Config
+from ..ops import denoise
+from .bamp import DecodeResult, _allclose_rows, _freeze
+
+
+class SCAMPState(NamedTuple):
+    xmap: jnp.ndarray    # (B, N) complex
+    xmmse: jnp.ndarray   # (B, N) complex
+    psi: jnp.ndarray     # (B, Lin) f32 section variances
+    phi: jnp.ndarray     # (B, Lout) f32 residual variances
+    z: jnp.ndarray       # (B, n) complex
+    active: jnp.ndarray
+    T: jnp.ndarray
+    t: jnp.ndarray
+
+
+def _expand(v: jnp.ndarray, reps: int) -> jnp.ndarray:
+    """``repeat_interleave`` along the last axis (`scamp.py:48,53-54`)."""
+    B, L = v.shape
+    return jnp.broadcast_to(v[:, :, None], (B, L, reps)).reshape(B, L * reps)
+
+
+def decode(W: jnp.ndarray, A: jnp.ndarray, y: jnp.ndarray, sigma2,
+           cfg: Config, *, estimate_phi: bool = False,
+           precision=lax.Precision.HIGHEST) -> DecodeResult:
+    """Run SCAMP on a batch of trials sharing one (W, A) realization."""
+    B = y.shape[0]
+    n, N = A.shape
+    Lc, Lr, Mc, Mr = cfg.Lc, cfg.Lr, cfg.Mc, cfg.Mr
+    L = cfg.L
+    mm = partial(jnp.matmul, precision=precision)
+    denoiser = partial(denoise.segmented_posterior,
+                       symbols=jnp.asarray(cfg.symbols), L=cfg.L, M=cfg.M,
+                       halve_tau=True, variance=None)   # `scamp.py:61-68`
+
+    W = jnp.asarray(W, jnp.float32)
+    Wt = W.T                      # psi @ Wt == W @ psi  per trial
+    At = A.T
+    Ac = jnp.conj(A)
+    sigma2 = jnp.asarray(sigma2, jnp.float32)
+
+    state0 = SCAMPState(
+        xmap=jnp.zeros((B, N), A.dtype),
+        xmmse=jnp.zeros((B, N), A.dtype),
+        psi=jnp.ones((B, Lc), jnp.float32),
+        phi=jnp.full((B, Lr), jnp.inf, jnp.float32),
+        z=y,
+        active=jnp.ones((B,), bool),
+        T=jnp.zeros((B,), jnp.int32),
+        t=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(st: SCAMPState):
+        return jnp.logical_and(st.t < cfg.N_Layers, jnp.any(st.active))
+
+    def body(st: SCAMPState) -> SCAMPState:
+        gma = mm(st.psi, Wt) / Lc                                # (B, Lr)
+        b = gma / st.phi            # 0 on first iter (phi = inf)
+        z = (y - mm(st.xmmse, At)
+             + _expand(b, Mr).astype(y.dtype) * st.z)            # (B, n)
+        if estimate_phi:
+            # `sparc.py:199`: empirical residual variance per output block.
+            phi = (jnp.abs(z) ** 2).reshape(B, Lr, Mr).mean(axis=-1)
+        else:
+            phi = sigma2 + gma                                   # `scamp.py:50`
+        tau = L / mm(1.0 / phi, W) / Mr                          # (B, Lc)
+        tau_use = _expand(tau, Mc)                               # (B, N)
+        phi_use = _expand(phi, Mr)                               # (B, n)
+        xmap = st.xmmse + tau_use * mm((z / phi_use).astype(y.dtype), Ac)
+        xmmse, _ = denoiser(xmap, tau_use)
+        psi = 1.0 - (jnp.abs(xmmse) ** 2).reshape(B, Lc, Mc).sum(-1) / cfg.Na
+
+        converged = _allclose_rows(psi, st.psi)
+        return SCAMPState(
+            xmap=_freeze(st.active, xmap, st.xmap),
+            xmmse=_freeze(st.active, xmmse, st.xmmse),
+            psi=_freeze(st.active, psi, st.psi),
+            phi=_freeze(st.active, phi, st.phi),
+            z=_freeze(st.active, z, st.z),
+            active=st.active & ~converged,
+            T=jnp.where(st.active, st.t + 1, st.T),
+            t=st.t + 1,
+        )
+
+    st = lax.while_loop(cond, body, state0)
+    return DecodeResult(xmap=st.xmap, xmmse=st.xmmse,
+                        var=1.0 - st.psi, T=st.T)

@@ -1,0 +1,177 @@
+"""Shrinkage / denoiser library — pure functions over (B, N) pseudo-data.
+
+Capability parity with the reference's ``Shrink`` module
+(``/root/reference/shrink.py``) plus the denoisers inlined in the decoders
+(`bamp.py:66-97`, `vamp.py:96-119`, `vamp2.py:79-88`, `scamp.py:61-68`):
+
+* :func:`segmented_posterior`   — softmax posterior over (antenna, symbol)
+  per segment; the workhorse of BAMP/VAMP/SCAMP in segmented/sparc mode.
+  Per-algorithm calibration differences are explicit flags: BAMP and SCAMP
+  halve ``tau`` (`bamp.py:68`, `scamp.py:63`) while VAMP does not
+  (`vamp.py:110` — commented out); the Rangan VAMP uses the second-moment
+  variance form (`vamp2.py:87`) instead of the decomposed one
+  (`bamp.py:74-76`).
+* :func:`bernoulli_mixture_posterior` — i.i.d. Bernoulli-symbol-mixture
+  posterior for ``random`` mode (`bamp.py:79-97`, `shrink.py:78-96`).
+* :func:`shrink_with_derivative` — posterior mean + analytic derivative for
+  scalar Onsager terms (`shrink.py:98-119`).
+* :func:`lasso`                 — soft threshold (`shrink.py:121-137`).
+* :func:`shrink_ook`            — LLR-form OOK posterior (`shrink.py:139-157`).
+* :func:`sw_shrink_ook`         — segment-wise OOK softmax (`shrink.py:58-76`).
+
+Numerics: the reference stabilizes its softmax by subtracting the GLOBAL
+``x.abs().max()`` (`bamp.py:70`) — a constant shift that cancels exactly in
+the normalized posterior.  We instead subtract the per-segment maximum,
+which is mathematically identical but immune to cross-segment underflow;
+overflow clamps follow ``regularize_exp`` (`shrink.py:163-166`).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EXP_MAX = float(np.log(np.finfo(np.float32).max)) - 1.0  # `shrink.py:163-166`
+_TOL = 1e-9
+
+
+def regularize_exp(a):
+    """Clamp exponent arguments below float32 overflow (`shrink.py:163-166`)."""
+    return jnp.minimum(a, _EXP_MAX)
+
+
+def regularize_zero(a, tol=_TOL):
+    """Replace exact zeros to avoid 0/0 (`shrink.py:159-161`)."""
+    return jnp.where(a == 0.0, tol, a)
+
+
+def segmented_posterior(r: jnp.ndarray, tau, symbols: jnp.ndarray,
+                        L: int, M: int, *, halve_tau: bool,
+                        variance: str | None = "decomposed",
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray | None]:
+    """Posterior mean (and variance) under the one-active-per-segment prior.
+
+    Args:
+        r: pseudo-data, shape (B, N) with N = L*M, complex.
+        tau: effective noise variance — scalar, (B, 1)-broadcastable, or
+            per-element (B, N).
+        symbols: (K,) complex symbol table.
+        L, M: segment count / segment size.
+        halve_tau: apply the ``tau/2`` calibration of BAMP/SCAMP
+            (`bamp.py:68`, `scamp.py:63`).
+        variance: None (mean only, `scamp.py:61-68`), "decomposed"
+            (`bamp.py:74-76`), or "second_moment" (`vamp2.py:87`).
+
+    Returns:
+        (xmmse, var): (B, N) complex64 posterior mean and (B, N) float32
+        posterior variance (or None when ``variance`` is None).
+    """
+    B = r.shape[0]
+    K = symbols.shape[0]
+    s = r.reshape(B, L, M, 1)
+    tau = jnp.asarray(tau)
+    tau_e = jnp.broadcast_to(tau, r.shape).reshape(B, L, M, 1)
+    if halve_tau:
+        tau_e = tau_e / 2.0
+    # t[b,l,m,k] = Re( (r/tau) * conj(s_k) )
+    t = ((s / tau_e) * jnp.conj(symbols)).real
+    t = t - jax.lax.stop_gradient(jnp.max(t, axis=(2, 3), keepdims=True))
+    eta = jnp.exp(regularize_exp(t))                       # (B, L, M, K)
+    eta_mk = eta.sum(axis=-1)                              # (B, L, M)
+    eta2 = eta_mk.sum(axis=2, keepdims=True)               # (B, L, 1)
+    xmmse = (symbols * eta).sum(axis=-1) / eta2            # (B, L, M) complex
+    if variance is None:
+        return xmmse.reshape(B, L * M).astype(jnp.complex64), None
+    if variance == "decomposed":
+        var0 = jnp.abs(xmmse) ** 2 * (1.0 - eta_mk / eta2)
+        vars_ = (jnp.abs(xmmse[..., None] - symbols) ** 2 * eta
+                 ).sum(axis=-1) / eta2
+        var = var0 + vars_
+    elif variance == "second_moment":
+        var = ((jnp.abs(symbols) ** 2 * eta).sum(axis=-1) / eta2
+               - jnp.abs(xmmse) ** 2)
+    else:
+        raise ValueError(f"unknown variance form {variance!r}")
+    return (xmmse.reshape(B, L * M).astype(jnp.complex64),
+            var.reshape(B, L * M).astype(jnp.float32))
+
+
+def bernoulli_mixture_posterior(r: jnp.ndarray, cov, symbols: jnp.ndarray,
+                                Ps: float, P0: float,
+                                with_variance: bool = True):
+    """i.i.d. Bernoulli-symbol-mixture posterior (`bamp.py:79-97`).
+
+    ``p(x) = P0*delta(x) + Ps*sum_k delta(x - s_k)`` with Gaussian likelihood
+    of variance ``cov``.
+    """
+    cov = jnp.broadcast_to(jnp.asarray(cov), r.shape)
+    d = r[..., None] - symbols                              # (..., K)
+    Gs = jnp.exp(-regularize_exp(jnp.abs(d) ** 2 / cov[..., None]))
+    G0 = jnp.exp(-regularize_exp(jnp.abs(r) ** 2 / cov))
+    norm = regularize_zero(P0 * G0 + Ps * Gs.sum(axis=-1))
+    mean = Ps * (symbols * Gs).sum(axis=-1) / norm
+    if not with_variance:
+        return mean.astype(jnp.complex64), None
+    second = Ps * (jnp.abs(symbols) ** 2 * Gs).sum(axis=-1) / norm
+    var = second - jnp.abs(mean) ** 2
+    return mean.astype(jnp.complex64), var.astype(jnp.float32)
+
+
+def shrink_with_derivative(r: jnp.ndarray, cov, symbols: jnp.ndarray,
+                           Ps: float, P0: float):
+    """Posterior mean + analytic derivative for Onsager terms
+    (`shrink.py:98-119`)."""
+    cov = jnp.broadcast_to(jnp.asarray(cov), r.shape)
+
+    def G(s):
+        return jnp.exp(-regularize_exp(jnp.abs(r[..., None] - s) ** 2
+                                       / cov[..., None]))
+
+    def dG(s):
+        return (2.0 * jnp.abs(r[..., None] - s)
+                * jnp.sign((s - r[..., None]).real) / cov[..., None])
+
+    G0 = jnp.exp(-regularize_exp(jnp.abs(r) ** 2 / cov))
+    d0 = 2.0 * jnp.abs(r) * jnp.sign(-r.real) / cov
+    Gs, ds = G(symbols), dG(symbols)
+    dG0, dGs = d0 * G0, ds * Gs
+    norm = P0 * G0 + Ps * Gs.sum(axis=-1) + _TOL
+    mean = Ps * (symbols * Gs).sum(axis=-1) / norm
+    dnorm = P0 * dG0 + Ps * dGs.sum(axis=-1)
+    sdGs = Ps * (symbols * dGs).sum(axis=-1)
+    der = (sdGs * norm - mean * dnorm) / norm ** 2
+    return mean, der
+
+
+def lasso(r: jnp.ndarray, cov, lmda: float = 1.0):
+    """Soft-threshold shrinkage (`shrink.py:121-137`)."""
+    F = jnp.sign(r.real) * jnp.maximum(jnp.abs(r), lmda * cov)
+    G = cov * jnp.where(jnp.abs(r) < cov, 0.0, 1.0)
+    return F, G
+
+
+def shrink_ook(r: jnp.ndarray, cov, Ps: float, P0: float):
+    """LLR-form OOK posterior mean + mean derivative (`shrink.py:139-157`)."""
+    theta = float(np.log(P0 / Ps))
+    eta = jnp.exp(regularize_exp(theta + (1.0 - 2.0 * r.real) / cov))
+    mean = 1.0 / (1.0 + eta + _TOL)
+    der = jnp.nan_to_num(2.0 * eta * mean ** 2 / cov, nan=0.0)
+    return mean.astype(jnp.complex64), der.mean()
+
+
+def sw_shrink_ook(r: jnp.ndarray, cov, L: int, M: int):
+    """Segment-wise OOK softmax posterior (`shrink.py:58-76`)."""
+    B = r.shape[0]
+    cov = jnp.broadcast_to(jnp.asarray(cov), r.shape)
+    Lr = ((2.0 * r.real - 1.0) / cov).reshape(B, L, M)
+    exp_Lr = jnp.exp(regularize_exp(Lr))
+    sum_exp = exp_Lr.sum(axis=-1, keepdims=True)
+    Le = -jnp.log(jnp.maximum(sum_exp - exp_Lr, _TOL))
+    Lx = Lr + Le
+    eta = jnp.exp(regularize_exp(Lx))
+    mean = eta / (1.0 + eta)
+    var = mean * (1.0 - mean)
+    return (mean.reshape(B, L * M).astype(jnp.complex64),
+            var.reshape(B, L * M).astype(jnp.float32))
