@@ -1,0 +1,151 @@
+"""Command-line sweep driver.
+
+The reference has no CLI — experiments are hand-edited nested ``for``
+loops in ``__main__`` blocks (`bamp_model.py:69-98`, SURVEY §5).  This CLI
+expresses the same grids declaratively:
+
+    python -m amp_sparc_spatialmodulation_tpu.cli sweep \\
+        --algo bamp --alphabet OOK --mode segmented --Nt 128 --Na 8 \\
+        --Nr 24 --Lin 20 --Lh 3 --trunc tail --profile uniform \\
+        --epochs 10000 --start 7.5 --final 10 --step 0.25 --res 100
+
+    python -m amp_sparc_spatialmodulation_tpu.cli plot --algo-dir BAMP ...
+    python -m amp_sparc_spatialmodulation_tpu.cli capacity ...
+    python -m amp_sparc_spatialmodulation_tpu.cli bench
+
+Multi-device runs shard Monte-Carlo realizations over all local devices
+(``--shard``); ``--model-axis`` additionally splits the measurement
+operator's columns (BAMP only).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_config_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--Nt", type=int, required=True)
+    p.add_argument("--Na", type=int, required=True)
+    p.add_argument("--Nr", type=int, required=True)
+    p.add_argument("--Lin", type=int, required=True)
+    p.add_argument("--Lh", type=int, required=True)
+    p.add_argument("--mode", default="segmented",
+                   choices=["random", "segmented", "sparc"])
+    p.add_argument("--alphabet", default="OOK")
+    p.add_argument("--profile", default="uniform",
+                   choices=["uniform", "exponential"])
+    p.add_argument("--trunc", default="tail",
+                   choices=["trunc", "tail", "cyclic"])
+    p.add_argument("--iterations", type=int, default=100)
+
+
+def _build_config(args):
+    from .config import Config
+
+    return Config(Nt=args.Nt, Na=args.Na, Nr=args.Nr, Lin=args.Lin,
+                  Lh=args.Lh, mode=args.mode, alphabet=args.alphabet,
+                  profile=args.profile, trunc=args.trunc,
+                  iterations=args.iterations)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="amp-sparc-tpu",
+                                     description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    sweep = sub.add_parser("sweep", help="run a Monte-Carlo Eb/N0 sweep")
+    _add_config_args(sweep)
+    sweep.add_argument("--algo", default="bamp",
+                       choices=["bamp", "vamp", "vamp2", "scamp"])
+    sweep.add_argument("--channel", default="sparc",
+                       choices=["sparc", "toeplitz", "iid"])
+    sweep.add_argument("--operator", default="dense",
+                       choices=["dense", "banded"])
+    sweep.add_argument("--epochs", type=int, default=100)
+    sweep.add_argument("--start", type=float, default=None)
+    sweep.add_argument("--final", type=float, default=None)
+    sweep.add_argument("--step", type=float, default=1.0)
+    sweep.add_argument("--res", type=int, default=1,
+                       help="trials per channel realization")
+    sweep.add_argument("--seed", type=int, default=0)
+    sweep.add_argument("--out", default="Simulations")
+    sweep.add_argument("--algo-dir", default=None)
+    sweep.add_argument("--resume", action="store_true")
+    sweep.add_argument("--shard", action="store_true",
+                       help="shard realizations over all local devices")
+    sweep.add_argument("--model-axis", type=int, default=1,
+                       help="tensor-parallel size (BAMP only)")
+    sweep.add_argument("--estimate-phi", action="store_true",
+                       help="SCAMP empirical residual variance (estSCAMP)")
+    sweep.add_argument("--plot", action="store_true")
+
+    plot = sub.add_parser("plot", help="rebuild plots from artifacts")
+    _add_config_args(plot)
+    plot.add_argument("--algo-dir", required=True)
+    plot.add_argument("--out", default="Simulations")
+
+    cap = sub.add_parser("capacity", help="capacity / mutual information")
+    _add_config_args(cap)
+    cap.add_argument("--epochs", type=int, default=100)
+    cap.add_argument("--start", type=float, default=None)
+    cap.add_argument("--final", type=float, default=None)
+    cap.add_argument("--step", type=float, default=1.0)
+    cap.add_argument("--out", default="Simulations")
+
+    sub.add_parser("bench", help="run the benchmark")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "bench":
+        from . import cli  # noqa: F401  (keep import style uniform)
+        import bench
+        bench.main()
+        return 0
+
+    cfg = _build_config(args)
+
+    if args.cmd == "plot":
+        from .utils.plotting import Plotter
+
+        p = Plotter(cfg, args.algo_dir, out_root=args.out)
+        print(p.plot_metrics())
+        print(p.plot_iter())
+        return 0
+
+    if args.cmd == "capacity":
+        from .models.capacity import InfoTheory
+
+        InfoTheory(cfg, out_root=args.out).simulate(
+            epochs=args.epochs, start=args.start, final=args.final,
+            step=args.step)
+        return 0
+
+    # sweep
+    kw = dict(algo=args.algo, channel_kind=args.channel, out_root=args.out,
+              algo_dir=args.algo_dir, seed=args.seed,
+              estimate_phi=args.estimate_phi, operator_form=args.operator)
+    if args.shard or args.model_axis > 1:
+        from .parallel.mesh import make_mesh
+        from .parallel.sweep import ShardedSimulator
+
+        mesh = make_mesh(model=args.model_axis)
+        sim = ShardedSimulator(cfg, mesh=mesh, **kw)
+    else:
+        from .models.montecarlo import Simulator
+
+        sim = Simulator(cfg, **kw)
+    sim.simulate(epochs=args.epochs, start=args.start, final=args.final,
+                 step=args.step, res=args.res, resume=args.resume)
+    if args.plot:
+        from .utils.plotting import Plotter
+
+        from .models.montecarlo import ALGO_DIRS
+        p = Plotter(cfg, args.algo_dir or ALGO_DIRS[args.algo],
+                    out_root=args.out)
+        print(p.plot_metrics())
+        print(p.plot_iter())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -78,12 +78,14 @@ def make_denoiser(cfg: Config):
                    Ps=cfg.Ps, P0=cfg.P0)
 
 
-def decode(H: jnp.ndarray, y: jnp.ndarray, sigma2, cfg: Config,
+def decode(H, y: jnp.ndarray, sigma2, cfg: Config,
            *, precision=lax.Precision.HIGHEST) -> DecodeResult:
-    """Run BAMP on a batch of trials sharing one channel matrix.
+    """Run BAMP on a batch of trials sharing one channel operator.
 
     Args:
-        H: (n, N) measurement matrix (dense).
+        H: (n, N) measurement matrix, or any operator from
+            :mod:`..ops.operators` (the banded tap-form operator makes the
+            massive-MIMO config tractable).
         y: (B, n) received vectors.
         sigma2: scalar noise variance ``(Na/Nr)/SNR`` (`bamp.py:134`).
         cfg: static system config.
@@ -91,20 +93,18 @@ def decode(H: jnp.ndarray, y: jnp.ndarray, sigma2, cfg: Config,
     Returns:
         :class:`DecodeResult` with per-trial iteration counts.
     """
-    B = y.shape[0]
-    n, N = H.shape
-    mm = partial(jnp.matmul, precision=precision)
-    denoiser = make_denoiser(cfg)
+    from ..ops import operators
 
-    Ht = H.T                      # (N, n): x @ Ht == (H @ x^T)^T
-    Hc = jnp.conj(H)              # (n, N): r @ Hc == (H^H r^T)^T
-    abs2 = jnp.abs(H) ** 2        # (n, N) f32
-    abs2_t = abs2.T
+    op = operators.as_operator(H, precision=precision)
+    B = y.shape[0]
+    n, N = op.shape
+    cdtype = y.dtype
+    denoiser = make_denoiser(cfg)
 
     sigma2 = jnp.asarray(sigma2, jnp.float32)
     state0 = BAMPState(
-        xmap=jnp.zeros((B, N), H.dtype),
-        xmmse=jnp.zeros((B, N), H.dtype),
+        xmap=jnp.zeros((B, N), cdtype),
+        xmmse=jnp.zeros((B, N), cdtype),
         var=jnp.ones((B, N), jnp.float32),
         z=y,
         u=jnp.full((B, n), sigma2, jnp.float32),
@@ -118,12 +118,12 @@ def decode(H: jnp.ndarray, y: jnp.ndarray, sigma2, cfg: Config,
 
     def body(s: BAMPState) -> BAMPState:
         # One AMP iteration (`bamp.py:59-64`).
-        v = mm(s.var, abs2_t)                                    # (B, n)
-        z = mm(s.xmmse, Ht) - (v * (y - s.z) / s.u).astype(H.dtype)
+        v = op.apply_abs2(s.var)                                 # (B, n)
+        z = op.apply(s.xmmse) - (v * (y - s.z) / s.u).astype(cdtype)
         u = v + sigma2
-        cov = 1.0 / mm(1.0 / u, abs2)                            # (B, N)
-        resid = ((y - z) / u).astype(H.dtype)
-        xmap = s.xmmse + cov * mm(resid, Hc)
+        cov = 1.0 / op.apply_abs2T(1.0 / u)                      # (B, N)
+        resid = ((y - z) / u).astype(cdtype)
+        xmap = s.xmmse + cov * op.apply_adj(resid)
         xmmse, var = denoiser(xmap, cov)
         converged = _allclose_rows(var, s.var)
         return BAMPState(

@@ -1,0 +1,143 @@
+"""Monte-Carlo channel capacity and constrained mutual information.
+
+Capability parity with ``/root/reference/capacity.py``: per channel
+realization, the squared singular values of ``H`` feed a water-filling
+power allocation (`capacity.py:58-99`) and a constellation-constrained
+mutual information by 2-D numerical integration over the complex output
+grid (`capacity.py:101-137`); results (Cawgn / Cwf / Cfs / Mi per Eb/N0)
+are exported as CSV (`capacity.py:54-55`).
+
+TPU-first: the SVD of each realization runs on device
+(``jnp.linalg.svd``); the small water-filling loop and integration grid
+stay host-side NumPy like the analysis utilities they are.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..ops import channel as channel_ops
+
+
+class InfoTheory:
+    """Capacity driver (`capacity.py:13-56`)."""
+
+    def __init__(self, cfg: Config, out_root: str = "Simulations",
+                 seed: int = 0):
+        self.cfg = cfg
+        self.seed = seed
+        self.path = os.path.join(out_root, "Capacity", cfg.name)
+        os.makedirs(self.path, exist_ok=True)
+        self._svdvals = jax.jit(
+            lambda key: jnp.linalg.svd(
+                channel_ops.generate_channel(key, cfg),
+                compute_uv=False))
+
+    def simulate(self, epochs: int = 1000, final: Optional[float] = None,
+                 start: Optional[float] = None, step: float = 1.0,
+                 grid_points: int = 100, progress=print) -> np.ndarray:
+        cfg = self.cfg
+        if start is None:
+            start = int(np.ceil(cfg.shannon_limit_dB))
+        if final is None:
+            final = start + 10.0
+        ebn0_range = np.arange(start, final + step, step)
+        snr_range = ebn0_range + 10 * np.log10(cfg.code_rate)
+        base = jax.random.PRNGKey(self.seed)
+        rows = []
+        for j, (snr_db, ebn0) in enumerate(zip(snr_range, ebn0_range)):
+            snr = 10 ** (snr_db / 10)
+            sigma2 = 1.0 / snr
+            c_awgn = float(np.log2(1 + snr))
+            c_wf, c_fs, mi_best, mi_last = 0.0, 0.0, 0.0, 0.0
+            for e in range(epochs):
+                key = jax.random.fold_in(jax.random.fold_in(base, j), e)
+                g = np.asarray(self._svdvals(key)) ** 2
+                g = np.sort(g)[::-1]
+                p_wf = self._water_filling(g, sigma2)
+                mi_last = self._mutual_information(g, snr, N=grid_points)
+                c_wf = max(c_wf, float(np.sum(np.log2(
+                    1 + g * p_wf / sigma2))))
+                mi_best = max(mi_best, mi_last)
+            rows.append([ebn0, snr_db, c_awgn, c_fs, c_wf, mi_best])
+            progress(f"EbN0dB={ebn0} Cawgn={c_awgn:.3f} Cwf={c_wf:.3f} "
+                     f"Mi={mi_best:.3f}")
+        out = np.asarray(rows)
+        self._export_csv(out)
+        return out[:, 2:]
+
+    def _export_csv(self, rows: np.ndarray) -> None:
+        """CSV with the reference's columns (`capacity.py:54-55`)."""
+        cfg = self.cfg
+        name = f"({cfg.Nt}, {cfg.Na}, {cfg.Nr}, {cfg.Lh})"
+        path = os.path.join(self.path, f"{name}.csv")
+        header = ",EbN0dB,SNRdB,Cawgn,Cfs,Cwf,Mi"
+        with open(path, "w") as f:
+            f.write(header + "\n")
+            for i, r in enumerate(rows):
+                f.write(",".join([str(i)] + [repr(float(v)) for v in
+                                             [r[0], r[1], r[2], r[3], r[4],
+                                              r[5]]]) + "\n")
+
+    def _water_filling(self, gain: np.ndarray, sigma2: float,
+                       power: float = 1.0) -> np.ndarray:
+        """Water-filling power allocation (`capacity.py:58-99`).
+
+        ``gain`` must be sorted descending; returns the per-mode powers in
+        the original order.
+        """
+        cfg = self.cfg
+        gain = gain * cfg.Nr / cfg.Nt
+        n = len(gain)
+        removed = 0
+        min_mu = sigma2 / gain[n - removed - 1]
+        ps = min_mu - sigma2 / gain[:n - removed]
+        while np.sum(ps) > power and removed < n - 1:
+            removed += 1
+            min_mu = sigma2 / gain[n - removed - 1]
+            ps = min_mu - sigma2 / gain[:n - removed]
+        pdiff = power - np.sum(ps)
+        paux = pdiff / (n - removed) + ps
+        palloc = np.zeros(n)
+        palloc[:n - removed] = paux
+        return palloc
+
+    def _mutual_information(self, gain: np.ndarray, snr: float,
+                            N: int = 100) -> float:
+        """Constellation-constrained MI summed over the eigen-channels
+        (`capacity.py:101-137`), vectorized over the output grid.
+
+        The input distribution is {0} U symbols with per-symbol activity
+        ``Ps`` (`capacity.py:106-108`).
+        """
+        cfg = self.cfg
+        gain = np.asarray(gain, float) / len(gain)
+        x = np.append(np.asarray(cfg.symbols), 0.0)
+        pmf_x = np.full(len(x), cfg.Ps, np.float64)
+        pmf_x[-1] = 1.0 - cfg.Ps * (len(x) - 1)
+        Px = np.sum(np.abs(x) ** 2 * pmf_x)
+        sigma2 = Px / snr
+        xmax = np.max(np.abs(x))
+        ymax = xmax + 10 * np.sqrt(sigma2)
+        ygrid = np.linspace(-ymax, ymax, N)
+        yr, yi = np.meshgrid(ygrid, ygrid)
+        y = (yr + 1j * yi).ravel()
+        mi = 0.0
+        for g in gain:
+            d2 = np.abs(y[:, None] - np.sqrt(g) * x[None, :]) ** 2
+            tmp = np.exp(-d2 / sigma2)
+            pmf_y_x = tmp / np.maximum(tmp.sum(0, keepdims=True), 1e-300)
+            pmf_y = pmf_y_x @ pmf_x
+            with np.errstate(divide="ignore", invalid="ignore"):
+                log_yx = np.where(pmf_y_x > 0,
+                                  np.log2(np.maximum(pmf_y_x, 1e-300)), 0.0)
+                log_y = np.where(pmf_y > 0,
+                                 np.log2(np.maximum(pmf_y, 1e-300)), 0.0)
+            mi += float(np.sum(pmf_y_x * (log_yx - log_y[:, None])
+                               * pmf_x[None, :]))
+        return mi

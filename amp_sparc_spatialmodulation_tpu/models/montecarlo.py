@@ -44,6 +44,70 @@ def _tree_sum(tree):
     return jax.tree_util.tree_map(lambda x: x.sum(axis=0), tree)
 
 
+def make_realization_fn(cfg: Config, algo: str, channel_kind: str, res: int,
+                        precision=jax.lax.Precision.HIGHEST,
+                        estimate_phi: bool = False,
+                        operator_form: str = "dense"):
+    """One Monte-Carlo channel realization with ``res`` batched trials.
+
+    Returns ``fn(key, snr) -> metric sums`` — the jit/shard_map unit shared
+    by the single-device :class:`Simulator` and the sharded sweeps in
+    :mod:`..parallel.sweep`.  Mirrors the inner loop of
+    ``Model.simulate`` (`bamp_model.py:54-59`).
+
+    ``operator_form='banded'`` keeps the channel in tap form (same sampled
+    taps → statistically identical realizations) and runs the decoders'
+    mat-vecs as banded block-convolutions — required for the massive-MIMO
+    config, faster everywhere.  VAMP needs the dense matrix for its SVD.
+    """
+    from ..ops import operators
+
+    if operator_form == "banded":
+        if algo in ("vamp", "vamp2"):
+            raise ValueError("VAMP requires the dense operator (SVD)")
+        if channel_kind == "iid":
+            raise ValueError("iid channels have no banded form")
+
+    def one_realization(key, snr):
+        k_chan, k_msg, k_noise = jax.random.split(key, 3)
+        sigma2 = cfg.E / snr
+        msg = message_ops.generate_message(k_msg, cfg, res)
+        if operator_form == "banded":
+            if channel_kind == "sparc":
+                W, A = operators.banded_sparc(k_chan, cfg,
+                                              precision=precision)
+            else:
+                W, A = None, operators.banded_toeplitz(k_chan, cfg,
+                                                       precision=precision)
+            y = A.apply(msg.x) + channel_ops.awgn(k_noise, cfg, snr, res)
+        else:
+            if channel_kind == "sparc":
+                W, A = channel_ops.generate_as_sparc(k_chan, cfg)
+            elif channel_kind == "toeplitz":
+                W, A = None, channel_ops.generate_channel(k_chan, cfg)
+            elif channel_kind == "iid":
+                W, A = None, channel_ops.generate_as_random(k_chan, cfg)
+            else:
+                raise ValueError(f"unknown channel kind {channel_kind!r}")
+            y = (jnp.matmul(msg.x, A.T, precision=precision)
+                 + channel_ops.awgn(k_noise, cfg, snr, res))
+        if algo == "bamp":
+            out = bamp.decode(A, y, sigma2, cfg, precision=precision)
+        elif algo == "vamp":
+            out = vamp.decode(vamp.svd(A), y, sigma2, cfg,
+                              precision=precision)
+        elif algo == "vamp2":
+            out = vamp2.decode(vamp.svd(A), y, sigma2, cfg,
+                               precision=precision)
+        else:
+            out = scamp.decode(W, A, y, sigma2, cfg,
+                               estimate_phi=estimate_phi,
+                               precision=precision)
+        return metrics.evaluate_sums(out.xmap, out.xmmse, msg, out.T, cfg)
+
+    return one_realization
+
+
 class Simulator:
     """Sweep driver for one (config, algorithm) pair.
 
@@ -65,6 +129,7 @@ class Simulator:
                  channel_kind: str = "sparc", out_root: str = "Simulations",
                  algo_dir: Optional[str] = None, seed: int = 0,
                  chans_per_batch: int = 1, estimate_phi: bool = False,
+                 operator_form: str = "dense",
                  precision=jax.lax.Precision.HIGHEST,
                  progress: Callable[[str], None] = print):
         if algo not in ("bamp", "vamp", "vamp2", "scamp"):
@@ -77,6 +142,7 @@ class Simulator:
         self.seed = seed
         self.chans_per_batch = chans_per_batch
         self.estimate_phi = estimate_phi
+        self.operator_form = operator_form
         self.precision = precision
         self.progress = progress
         self.path = os.path.join(out_root, algo_dir or ALGO_DIRS[algo],
@@ -86,37 +152,10 @@ class Simulator:
     # --- one jitted step: C channel realizations x res trials -------------
 
     def _build_step(self, res: int):
-        cfg = self.cfg
-        algo = self.algo
-        kind = self.channel_kind
-        prec = self.precision
-        est = self.estimate_phi
-
-        def one_realization(key, snr):
-            k_chan, k_msg, k_noise = jax.random.split(key, 3)
-            sigma2 = cfg.E / snr
-            msg = message_ops.generate_message(k_msg, cfg, res)
-            if kind == "sparc":
-                W, A = channel_ops.generate_as_sparc(k_chan, cfg)
-            elif kind == "toeplitz":
-                W, A = None, channel_ops.generate_channel(k_chan, cfg)
-            elif kind == "iid":
-                W, A = None, channel_ops.generate_as_random(k_chan, cfg)
-            else:
-                raise ValueError(f"unknown channel kind {kind!r}")
-            y = (jnp.matmul(msg.x, A.T, precision=prec)
-                 + channel_ops.awgn(k_noise, cfg, snr, res))
-            if algo == "bamp":
-                out = bamp.decode(A, y, sigma2, cfg, precision=prec)
-            elif algo == "vamp":
-                out = vamp.decode(vamp.svd(A), y, sigma2, cfg, precision=prec)
-            elif algo == "vamp2":
-                out = vamp2.decode(vamp.svd(A), y, sigma2, cfg,
-                                   precision=prec)
-            else:
-                out = scamp.decode(W, A, y, sigma2, cfg, estimate_phi=est,
-                                   precision=prec)
-            return metrics.evaluate_sums(out.xmap, out.xmmse, msg, out.T, cfg)
+        one_realization = make_realization_fn(
+            self.cfg, self.algo, self.channel_kind, res,
+            precision=self.precision, estimate_phi=self.estimate_phi,
+            operator_form=self.operator_form)
 
         @partial(jax.jit, static_argnames=())
         def step(keys, snr):

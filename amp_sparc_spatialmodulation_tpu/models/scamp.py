@@ -50,12 +50,19 @@ def _expand(v: jnp.ndarray, reps: int) -> jnp.ndarray:
     return jnp.broadcast_to(v[:, :, None], (B, L, reps)).reshape(B, L * reps)
 
 
-def decode(W: jnp.ndarray, A: jnp.ndarray, y: jnp.ndarray, sigma2,
+def decode(W: jnp.ndarray, A, y: jnp.ndarray, sigma2,
            cfg: Config, *, estimate_phi: bool = False,
            precision=lax.Precision.HIGHEST) -> DecodeResult:
-    """Run SCAMP on a batch of trials sharing one (W, A) realization."""
+    """Run SCAMP on a batch of trials sharing one (W, A) realization.
+
+    ``A`` may be the dense matrix or a tap-form operator from
+    :mod:`..ops.operators`.
+    """
+    from ..ops import operators
+
+    op = operators.as_operator(A, precision=precision)
     B = y.shape[0]
-    n, N = A.shape
+    n, N = op.shape
     Lc, Lr, Mc, Mr = cfg.Lc, cfg.Lr, cfg.Mc, cfg.Mr
     L = cfg.L
     mm = partial(jnp.matmul, precision=precision)
@@ -65,13 +72,11 @@ def decode(W: jnp.ndarray, A: jnp.ndarray, y: jnp.ndarray, sigma2,
 
     W = jnp.asarray(W, jnp.float32)
     Wt = W.T                      # psi @ Wt == W @ psi  per trial
-    At = A.T
-    Ac = jnp.conj(A)
     sigma2 = jnp.asarray(sigma2, jnp.float32)
 
     state0 = SCAMPState(
-        xmap=jnp.zeros((B, N), A.dtype),
-        xmmse=jnp.zeros((B, N), A.dtype),
+        xmap=jnp.zeros((B, N), y.dtype),
+        xmmse=jnp.zeros((B, N), y.dtype),
         psi=jnp.ones((B, Lc), jnp.float32),
         phi=jnp.full((B, Lr), jnp.inf, jnp.float32),
         z=y,
@@ -86,7 +91,7 @@ def decode(W: jnp.ndarray, A: jnp.ndarray, y: jnp.ndarray, sigma2,
     def body(st: SCAMPState) -> SCAMPState:
         gma = mm(st.psi, Wt) / Lc                                # (B, Lr)
         b = gma / st.phi            # 0 on first iter (phi = inf)
-        z = (y - mm(st.xmmse, At)
+        z = (y - op.apply(st.xmmse)
              + _expand(b, Mr).astype(y.dtype) * st.z)            # (B, n)
         if estimate_phi:
             # `sparc.py:199`: empirical residual variance per output block.
@@ -96,7 +101,8 @@ def decode(W: jnp.ndarray, A: jnp.ndarray, y: jnp.ndarray, sigma2,
         tau = L / mm(1.0 / phi, W) / Mr                          # (B, Lc)
         tau_use = _expand(tau, Mc)                               # (B, N)
         phi_use = _expand(phi, Mr)                               # (B, n)
-        xmap = st.xmmse + tau_use * mm((z / phi_use).astype(y.dtype), Ac)
+        xmap = st.xmmse + tau_use * op.apply_adj(
+            (z / phi_use).astype(y.dtype))
         xmmse, _ = denoiser(xmap, tau_use)
         psi = 1.0 - (jnp.abs(xmmse) ** 2).reshape(B, Lc, Mc).sum(-1) / cfg.Na
 

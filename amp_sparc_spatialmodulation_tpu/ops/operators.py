@@ -1,0 +1,188 @@
+"""Measurement-operator abstraction: dense and banded (tap-form) forms.
+
+The decoders need exactly four linear maps per AMP iteration
+(`bamp.py:59-63`):
+
+    apply(x)      = H @ x          (B, N) -> (B, n)
+    apply_adj(r)  = H^H @ r        (B, n) -> (B, N)
+    apply_abs2(v) = |H|^2 @ v      (B, N) -> (B, n)   real
+    apply_abs2T(u)= |H|^2^T @ u    (B, n) -> (B, N)   real
+
+``DenseOperator`` wraps the materialized matrix (needed for VAMP's SVD and
+for exact parity tests).  ``BandedOperator`` exploits the block-banded
+structure of the frequency-selective channel (`channel.py:56-58,89-92`):
+block ``(c+l, c)`` of the operator is ``gains[l, c] * h_l`` (gains are ones
+for the Toeplitz form, ``sqrt(W[c+l, c])`` for the SPARC form), so every
+map is ``Lh`` batched ``(Nr, Nt)`` matmuls plus a shifted accumulation —
+``~Lh/Lout`` of the dense FLOPs and ``O(Lh*Nr*Nt)`` instead of ``O(n*N)``
+memory.  This is what makes the massive-MIMO config (Nt=1344, Lin=32:
+dense A is ~0.9 GB complex64, SURVEY §7) cheap: the taps are ~4.6 MB.
+
+TPU mapping: the einsum over taps is a batched MXU matmul with the trial
+batch as the contraction-free major dimension; the shift-accumulate is a
+static unrolled loop over ``Lh`` (small) that XLA fuses into adds.
+Operators are plain Python objects constructed *inside* a trace (their
+arrays become loop constants hoisted out of ``while_loop`` bodies) — they
+are not pytrees and must not cross jit boundaries.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config import Config
+from . import channel as channel_ops
+
+
+class DenseOperator:
+    """Materialized (n, N) measurement matrix with precomputed constants."""
+
+    def __init__(self, H, precision=lax.Precision.HIGHEST):
+        self.H = H
+        self.Ht = H.T
+        self.Hc = jnp.conj(H)
+        self.abs2 = jnp.abs(H) ** 2
+        self.abs2T = self.abs2.T
+        self.precision = precision
+
+    @property
+    def shape(self):
+        return self.H.shape
+
+    def apply(self, x):
+        return jnp.matmul(x, self.Ht, precision=self.precision)
+
+    def apply_adj(self, r):
+        return jnp.matmul(r, self.Hc, precision=self.precision)
+
+    def apply_abs2(self, v):
+        return jnp.matmul(v, self.abs2T, precision=self.precision)
+
+    def apply_abs2T(self, u):
+        return jnp.matmul(u, self.abs2, precision=self.precision)
+
+
+class BandedOperator:
+    """Tap-form block-banded operator.
+
+    Args:
+        h: (Lh, Nr, Nt) channel taps.
+        gains: (Lh, Lin) per-(tap, column-block) gains; block (c+l, c) of
+            the dense operator equals ``gains[l, c] * h[l]``.
+        Lin, Lout, trunc: block geometry (`channel.py:60-72`).
+    """
+
+    def __init__(self, h, gains, Lin: int, Lout: int, trunc: str,
+                 precision=lax.Precision.HIGHEST):
+        self.h = h
+        self.abs_h2 = jnp.abs(h) ** 2
+        self.gains = gains
+        self.gains2 = gains ** 2
+        self.Lin, self.Lout, self.trunc = Lin, Lout, trunc
+        self.Lh, self.Nr, self.Nt = h.shape
+        self.precision = precision
+
+    @property
+    def shape(self):
+        return (self.Nr * self.Lout, self.Nt * self.Lin)
+
+    def _rows(self, l):
+        """Static (row_block, col_block) index arrays for tap ``l``."""
+        cols = np.arange(self.Lin)
+        rows = cols + l
+        if self.trunc == "cyclic":
+            rows = rows % self.Lin
+        else:
+            keep = rows < self.Lout
+            rows, cols = rows[keep], cols[keep]
+        return rows, cols
+
+    def _fwd(self, x, taps, gains):
+        """``y[r] = sum_l gains[l, r-l] * taps[l] @ x[r-l]``."""
+        B = x.shape[0]
+        xb = x.reshape(B, self.Lin, self.Nt)
+        # P[b, l, c, m] = sum_n taps[l, m, n] * xb[b, c, n]
+        P = jnp.einsum("lmn,bcn->blcm", taps, xb, precision=self.precision)
+        y = jnp.zeros((B, self.Lout, self.Nr), P.dtype)
+        for l in range(self.Lh):
+            rows, cols = self._rows(l)
+            contrib = gains[l, cols][None, :, None] * P[:, l, cols]
+            y = y.at[:, rows].add(contrib)
+        return y.reshape(B, self.Lout * self.Nr)
+
+    def _bwd(self, z, taps, gains):
+        """Adjoint of :meth:`_fwd` (conjugate taps)."""
+        B = z.shape[0]
+        zb = z.reshape(B, self.Lout, self.Nr)
+        Zl = jnp.zeros((B, self.Lh, self.Lin, self.Nr), zb.dtype)
+        for l in range(self.Lh):
+            rows, cols = self._rows(l)
+            Zl = Zl.at[:, l, cols].set(gains[l, cols][None, :, None]
+                                       * zb[:, rows])
+        r = jnp.einsum("lmn,blcm->bcn", jnp.conj(taps), Zl,
+                       precision=self.precision)
+        return r.reshape(B, self.Lin * self.Nt)
+
+    def apply(self, x):
+        return self._fwd(x, self.h, self.gains)
+
+    def apply_adj(self, r):
+        return self._bwd(r, self.h, self.gains)
+
+    def apply_abs2(self, v):
+        return self._fwd(v, self.abs_h2, self.gains2).real
+
+    def apply_abs2T(self, u):
+        return self._bwd(u, self.abs_h2, self.gains2).real
+
+    def densify(self) -> jnp.ndarray:
+        """Materialize the dense matrix (tests / SVD path)."""
+        blocks = jnp.zeros((self.Lout, self.Lin, self.Nr, self.Nt),
+                           self.h.dtype)
+        for l in range(self.Lh):
+            rows, cols = self._rows(l)
+            blocks = blocks.at[rows, cols].add(
+                self.gains[l, cols][:, None, None] * self.h[l][None])
+        return blocks.transpose(0, 2, 1, 3).reshape(self.Nr * self.Lout,
+                                                    self.Nt * self.Lin)
+
+
+def as_operator(H, precision=lax.Precision.HIGHEST):
+    """Wrap a raw matrix; pass operators through unchanged."""
+    if hasattr(H, "apply_abs2T"):
+        return H
+    return DenseOperator(H, precision=precision)
+
+
+def banded_toeplitz(key, cfg: Config,
+                    precision=lax.Precision.HIGHEST) -> BandedOperator:
+    """Tap-form equivalent of ``generate_channel`` (`channel.py:40-73`)."""
+    h = channel_ops.sample_taps(key, cfg)
+    gains = jnp.ones((cfg.Lh, cfg.Lin), jnp.float32)
+    return BandedOperator(h=h, gains=gains, Lin=cfg.Lin, Lout=cfg.Lout,
+                          trunc=cfg.trunc, precision=precision)
+
+
+def sparc_gains(cfg: Config, W: np.ndarray) -> np.ndarray:
+    """(Lh, Lin) gains ``sqrt(W[c+l, c])`` of the SPARC operator."""
+    cols = np.arange(cfg.Lin)
+    gains = np.zeros((cfg.Lh, cfg.Lin), np.float32)
+    for l in range(cfg.Lh):
+        rows = cols + l
+        keep = rows < cfg.Lout
+        gains[l, cols[keep]] = np.sqrt(W[rows[keep], cols[keep]])
+    return gains
+
+
+def banded_sparc(key, cfg: Config, precision=lax.Precision.HIGHEST):
+    """Tap-form equivalent of ``generate_as_sparc`` (`channel.py:75-95`).
+
+    Returns ``(W, op)`` with the base matrix for SCAMP bookkeeping.
+    """
+    W = channel_ops.base_matrix(cfg)
+    h = channel_ops.sample_sparc_taps(key, cfg)
+    op = BandedOperator(h=h, gains=jnp.asarray(sparc_gains(cfg, W)),
+                        Lin=cfg.Lin, Lout=cfg.Lout, trunc=cfg.trunc,
+                        precision=precision)
+    return jnp.asarray(W), op

@@ -1,0 +1,140 @@
+"""Sharded Monte-Carlo sweeps: trials data-parallel, optional model
+(tensor/sequence) parallel decode, psum-reduced error statistics.
+
+This is the distributed analog of ``Loss.accumulate`` (SURVEY §2a): every
+device runs independent channel realizations and trial batches; the metric
+sums (already additive, see :mod:`..utils.metrics`) are ``psum``-reduced
+over the ``trials`` axis on ICI, and only finalized averages ever reach the
+host.  With ``jax.distributed`` the same code spans hosts — DCN sees one
+scalar pytree per SNR point.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import Config
+from ..models import bamp, montecarlo
+from ..ops import channel as channel_ops
+from ..ops import message as message_ops
+from ..utils import metrics
+from . import tensor
+from .mesh import MODEL_AXIS, TRIALS_AXIS
+
+
+def make_sharded_step(cfg: Config, algo: str, channel_kind: str, res: int,
+                      mesh: Mesh, chans_per_device: int = 1,
+                      precision=lax.Precision.HIGHEST,
+                      estimate_phi: bool = False,
+                      operator_form: str = "dense"):
+    """Build ``step(keys, snr) -> metric sums`` sharded over ``mesh``.
+
+    ``keys`` has shape ``(trials_axis_size, chans_per_device, 2)`` — one key
+    per (device, realization); every device decodes ``chans_per_device``
+    realizations of ``res`` trials each.  When the mesh has a non-trivial
+    ``model`` axis (BAMP only), each realization is decoded tensor-parallel
+    with the operator's columns sharded over it.
+    """
+    tp = mesh.shape[MODEL_AXIS]
+    if tp > 1 and algo != "bamp":
+        raise NotImplementedError("model-axis sharding is built for bamp")
+
+    if tp == 1:
+        realization = montecarlo.make_realization_fn(
+            cfg, algo, channel_kind, res, precision=precision,
+            estimate_phi=estimate_phi, operator_form=operator_form)
+
+        def device_fn(keys, snr):
+            sums = jax.vmap(lambda k: realization(k, snr))(keys[0])
+            sums = jax.tree_util.tree_map(lambda x: x.sum(axis=0), sums)
+            return jax.tree_util.tree_map(
+                lambda x: lax.psum(x, TRIALS_AXIS), sums)
+
+        sharded = jax.shard_map(device_fn, mesh=mesh,
+                                in_specs=(P(TRIALS_AXIS), P()),
+                                out_specs=P(), check_vma=False)
+        return jax.jit(sharded)
+
+    # --- trials x model: tensor-parallel BAMP realization -----------------
+
+    def tp_realization(key, snr):
+        k_chan, k_msg, k_noise = jax.random.split(key, 3)
+        sigma2 = cfg.E / snr
+        # Channel/message/noise keys are replicated across the model axis,
+        # so every shard derives the same realization and slices its own
+        # columns.
+        msg = message_ops.generate_message(k_msg, cfg, res)
+        if channel_kind == "sparc":
+            _, A = channel_ops.generate_as_sparc(k_chan, cfg)
+        elif channel_kind == "toeplitz":
+            A = channel_ops.generate_channel(k_chan, cfg)
+        else:
+            A = channel_ops.generate_as_random(k_chan, cfg)
+        A_k = tensor.shard_columns(A, cfg)            # (n, N/tp)
+        x_k = tensor.shard_columns(msg.x, cfg)        # (B, N/tp)
+        y = (lax.psum(jnp.matmul(x_k, A_k.T, precision=precision),
+                      MODEL_AXIS)
+             + channel_ops.awgn(k_noise, cfg, snr, res))
+        xmap_k, xmmse_k, _, T = tensor.decode(A_k, y, sigma2, cfg,
+                                              precision=precision)
+        xmap = tensor.gather_columns(xmap_k)
+        xmmse = tensor.gather_columns(xmmse_k)
+        return metrics.evaluate_sums(xmap, xmmse, msg, T, cfg)
+
+    def device_fn(keys, snr):
+        sums = jax.vmap(lambda k: tp_realization(k, snr))(keys[0])
+        sums = jax.tree_util.tree_map(lambda x: x.sum(axis=0), sums)
+        # Sums are identical across the model axis; psum over both axes and
+        # divide by the model size to de-duplicate.
+        return jax.tree_util.tree_map(
+            lambda x: lax.psum(x, (TRIALS_AXIS, MODEL_AXIS)) / tp, sums)
+
+    sharded = jax.shard_map(device_fn, mesh=mesh,
+                            in_specs=(P(TRIALS_AXIS), P()),
+                            out_specs=P(), check_vma=False)
+    return jax.jit(sharded)
+
+
+class ShardedSimulator(montecarlo.Simulator):
+    """Drop-in :class:`Simulator` that shards realizations over a mesh.
+
+    Weak-scaling knob: per SNR point each of the ``trials``-axis devices
+    runs ``chans_per_batch`` realizations of ``res`` trials per call.
+    """
+
+    def __init__(self, cfg: Config, mesh: Optional[Mesh] = None, **kw):
+        from .mesh import make_mesh
+        self.mesh = mesh if mesh is not None else make_mesh()
+        super().__init__(cfg, **kw)
+
+    def _build_step(self, res: int):
+        return make_sharded_step(self.cfg, self.algo, self.channel_kind,
+                                 res, self.mesh,
+                                 chans_per_device=self.chans_per_batch,
+                                 precision=self.precision,
+                                 estimate_phi=self.estimate_phi,
+                                 operator_form=self.operator_form)
+
+    def run_point(self, ebn0_db: float, epochs: int, res: int = 1,
+                  snr_idx: int = 0):
+        cfg = self.cfg
+        D = self.mesh.shape[TRIALS_AXIS]
+        C = self.chans_per_batch
+        snr_db = ebn0_db + 10 * np.log10(cfg.code_rate)
+        snr = jnp.asarray(10 ** (snr_db / 10), jnp.float32)
+        step = self.step_fn(res)
+        n_real = max(1, int(np.ceil(epochs / res)))
+        n_calls = int(np.ceil(n_real / (D * C)))
+        base = jax.random.fold_in(jax.random.PRNGKey(self.seed), snr_idx)
+        total = None
+        for c in range(n_calls):
+            idx = jnp.arange(c * D * C, (c + 1) * D * C).reshape(D, C)
+            keys = jax.vmap(jax.vmap(
+                lambda i: jax.random.fold_in(base, i)))(idx)
+            total = metrics.accumulate(total, step(keys, snr))
+        return metrics.finalize(total, cfg)

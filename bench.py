@@ -1,0 +1,88 @@
+"""Benchmark: Monte-Carlo decode throughput on the flagship config.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: batched BAMP decode of the flagship BAMPfinal OOK system
+(Nt=128, Na=8, Nr=24, Lh=3, Lin=20 — SURVEY §6) at its published 8 dB
+operating point, including on-device channel generation, message sampling,
+decode with per-trial early stopping, and metric reduction — i.e. the same
+work the reference does serially per trial (`bamp_model.py:54-60`).
+
+``vs_baseline`` compares trials/s against the PyTorch reference measured
+in-place from /root/reference (see reference_baseline.json; the reference
+publishes no speed numbers, so we generated the baseline side ourselves).
+Diagnostics go to stderr; stdout carries exactly the one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from amp_sparc_spatialmodulation_tpu.config import flagship_bamp_ook
+    from amp_sparc_spatialmodulation_tpu.models import montecarlo
+
+    cfg = flagship_bamp_ook()
+    res = int(os.environ.get("BENCH_RES", "512"))       # trials per batch
+    n_batches = int(os.environ.get("BENCH_BATCHES", "8"))
+    ebn0 = 8.0
+    snr = 10 ** ((ebn0 + 10 * np.log10(cfg.code_rate)) / 10)
+    snr_dev = jnp.asarray(snr, jnp.float32)
+
+    log(f"platform={jax.default_backend()} devices={jax.devices()}")
+    fn = montecarlo.make_realization_fn(cfg, "bamp", "sparc", res)
+    step = jax.jit(fn)
+
+    base = jax.random.PRNGKey(0)
+    # warmup / compile
+    t0 = time.perf_counter()
+    out = step(jax.random.fold_in(base, 1000), snr_dev)
+    jax.block_until_ready(out)
+    log(f"compile+first-batch: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    total_T = 0.0
+    total_trials = 0
+    fer_sum = 0.0
+    for i in range(n_batches):
+        out = step(jax.random.fold_in(base, i), snr_dev)
+        out = {k: float(v) for k, v in out.items()}
+        total_T += out["T"]
+        total_trials += int(out["trials"])
+        fer_sum += out["fer"]
+    dt = time.perf_counter() - t0
+
+    trials_per_s = total_trials / dt
+    iters_per_s = total_T / dt
+    log(f"{total_trials} trials in {dt:.2f}s  "
+        f"meanT={total_T / total_trials:.2f}  "
+        f"FER={fer_sum / total_trials:.3e}  "
+        f"iters/s={iters_per_s:.0f}")
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "reference_baseline.json")
+    with open(baseline_path) as f:
+        ref = json.load(f)
+
+    print(json.dumps({
+        "metric": "bamp_flagship_trials_per_s",
+        "value": round(trials_per_s, 2),
+        "unit": "trials/s (BAMPfinal OOK Nt=128 @ 8dB, incl. chan+msg gen)",
+        "vs_baseline": round(trials_per_s / ref["trials_per_s"], 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

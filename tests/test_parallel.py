@@ -1,0 +1,110 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh:
+DP psum reduction equals single-device sums; TP column-sharded BAMP equals
+the dense single-device decode."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from amp_sparc_spatialmodulation_tpu.config import Config
+from amp_sparc_spatialmodulation_tpu.models import bamp, montecarlo
+from amp_sparc_spatialmodulation_tpu.ops import channel, message
+from amp_sparc_spatialmodulation_tpu.parallel import mesh as mesh_mod
+from amp_sparc_spatialmodulation_tpu.parallel import sweep as psweep
+
+
+def _cfg(**kw):
+    base = dict(Nt=16, Na=4, Nr=8, Lin=4, Lh=2, mode="segmented",
+                iterations=20, alphabet="OOK", profile="uniform",
+                trunc="tail")
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+def test_dp_sharded_step_matches_serial(eight_devices):
+    cfg = _cfg()
+    res = 4
+    m = mesh_mod.make_mesh(trials=8, model=1, devices=eight_devices)
+    step = psweep.make_sharded_step(cfg, "bamp", "sparc", res, m)
+    base = jax.random.PRNGKey(7)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+        jnp.arange(8)).reshape(8, 1, 2)
+    snr = jnp.asarray(6.0, jnp.float32)
+    sharded = {k: float(v) for k, v in step(keys, snr).items()}
+
+    # serial recomputation with the same keys
+    fn = montecarlo.make_realization_fn(cfg, "bamp", "sparc", res)
+    total = None
+    for i in range(8):
+        sums = fn(jax.random.fold_in(base, i), snr)
+        vals = {k: float(v) for k, v in sums.items()}
+        total = vals if total is None else {k: total[k] + vals[k]
+                                            for k in vals}
+    assert sharded["trials"] == total["trials"] == 8 * res
+    for k in sharded:
+        assert sharded[k] == pytest.approx(total[k], rel=1e-4, abs=1e-3), k
+
+
+def test_tp_decode_matches_dense(eight_devices):
+    cfg = _cfg(Lin=4)
+    B = 3
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    _, A = channel.generate_as_sparc(k1, cfg)
+    msg = message.generate_message(k2, cfg, B)
+    snr = 8.0
+    y = msg.x @ A.T + channel.awgn(k3, cfg, snr, B)
+    sigma2 = cfg.sigma2(snr)
+
+    ref = bamp.decode(A, y, sigma2, cfg)
+
+    from jax.sharding import PartitionSpec as P
+    from amp_sparc_spatialmodulation_tpu.parallel import tensor
+
+    m = mesh_mod.make_mesh(trials=1, model=4, devices=eight_devices[:4])
+
+    def run(A_full, y_full):
+        A_k = tensor.shard_columns(A_full, cfg)
+        xmap_k, xmmse_k, var_k, T = tensor.decode(A_k, y_full, sigma2, cfg)
+        return (tensor.gather_columns(xmap_k),
+                tensor.gather_columns(xmmse_k), T)
+
+    sharded = jax.jit(jax.shard_map(run, mesh=m, in_specs=(P(), P()),
+                                    out_specs=(P(), P(), P()),
+                                    check_vma=False))
+    xmap, xmmse, T = sharded(A, y)
+    np.testing.assert_array_equal(np.asarray(T), np.asarray(ref.T))
+    np.testing.assert_allclose(np.asarray(xmmse), np.asarray(ref.xmmse),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(xmap), np.asarray(ref.xmap),
+                               atol=2e-3)
+
+
+def test_tp_sharded_sweep_step(eight_devices):
+    cfg = _cfg(Lin=4)
+    m = mesh_mod.make_mesh(trials=2, model=2, devices=eight_devices[:4])
+    step = psweep.make_sharded_step(cfg, "bamp", "sparc", res=4, mesh=m)
+    base = jax.random.PRNGKey(11)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+        jnp.arange(2)).reshape(2, 1, 2)
+    out = {k: float(v) for k, v in step(keys,
+                                        jnp.asarray(7.0, jnp.float32)).items()}
+    assert out["trials"] == 2 * 4
+    assert out["fer"] <= 2 * 4
+
+
+def test_sharded_simulator_runs(eight_devices, tmp_path):
+    cfg = _cfg()
+    m = mesh_mod.make_mesh(trials=8, model=1, devices=eight_devices)
+    sim = psweep.ShardedSimulator(cfg, mesh=m, algo="bamp",
+                                  out_root=str(tmp_path))
+    avg = sim.run_point(8.0, epochs=64, res=4)
+    assert 0.0 <= avg["fer"] <= 1.0
+    assert avg["T"] >= 1.0
