@@ -59,8 +59,8 @@ def main(argv=None) -> int:
                        choices=["bamp", "vamp", "vamp2", "scamp"])
     sweep.add_argument("--channel", default="sparc",
                        choices=["sparc", "toeplitz", "iid"])
-    sweep.add_argument("--operator", default="dense",
-                       choices=["dense", "banded"])
+    sweep.add_argument("--operator", default="auto",
+                       choices=["auto", "dense", "banded"])
     sweep.add_argument("--epochs", type=int, default=100)
     sweep.add_argument("--start", type=float, default=None)
     sweep.add_argument("--final", type=float, default=None)

