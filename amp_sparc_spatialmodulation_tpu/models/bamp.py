@@ -79,7 +79,8 @@ def make_denoiser(cfg: Config):
 
 
 def decode(H, y: jnp.ndarray, sigma2, cfg: Config,
-           *, precision=lax.Precision.HIGHEST) -> DecodeResult:
+           *, precision=lax.Precision.HIGHEST,
+           use_pallas: bool = False) -> DecodeResult:
     """Run BAMP on a batch of trials sharing one channel operator.
 
     Args:
@@ -89,6 +90,9 @@ def decode(H, y: jnp.ndarray, sigma2, cfg: Config,
         y: (B, n) received vectors.
         sigma2: scalar noise variance ``(Na/Nr)/SNR`` (`bamp.py:134`).
         cfg: static system config.
+        use_pallas: run the linear part of each iteration as one fused
+            Pallas kernel (requires a banded operator; falls back to
+            interpret mode off-TPU).
 
     Returns:
         :class:`DecodeResult` with per-trial iteration counts.
@@ -100,6 +104,15 @@ def decode(H, y: jnp.ndarray, sigma2, cfg: Config,
     n, N = op.shape
     cdtype = y.dtype
     denoiser = make_denoiser(cfg)
+
+    fused = None
+    if use_pallas:
+        from ..ops.pallas.fused_bamp import FusedBandedIteration
+
+        if not isinstance(op, operators.BandedOperator):
+            raise ValueError("use_pallas requires a BandedOperator")
+        fused = FusedBandedIteration(
+            op, B, interpret=jax.default_backend() != "tpu")
 
     sigma2 = jnp.asarray(sigma2, jnp.float32)
     state0 = BAMPState(
@@ -118,12 +131,15 @@ def decode(H, y: jnp.ndarray, sigma2, cfg: Config,
 
     def body(s: BAMPState) -> BAMPState:
         # One AMP iteration (`bamp.py:59-64`).
-        v = op.apply_abs2(s.var)                                 # (B, n)
-        z = op.apply(s.xmmse) - (v * (y - s.z) / s.u).astype(cdtype)
-        u = v + sigma2
-        cov = 1.0 / op.apply_abs2T(1.0 / u)                      # (B, N)
-        resid = ((y - z) / u).astype(cdtype)
-        xmap = s.xmmse + cov * op.apply_adj(resid)
+        if fused is not None:
+            xmap, cov, z, u = fused(s.xmmse, s.var, s.z, s.u, y, sigma2)
+        else:
+            v = op.apply_abs2(s.var)                             # (B, n)
+            z = op.apply(s.xmmse) - (v * (y - s.z) / s.u).astype(cdtype)
+            u = v + sigma2
+            cov = 1.0 / op.apply_abs2T(1.0 / u)                  # (B, N)
+            resid = ((y - z) / u).astype(cdtype)
+            xmap = s.xmmse + cov * op.apply_adj(resid)
         xmmse, var = denoiser(xmap, cov)
         converged = _allclose_rows(var, s.var)
         return BAMPState(

@@ -82,6 +82,11 @@ class BandedOperator:
         self.Lin, self.Lout, self.trunc = Lin, Lout, trunc
         self.Lh, self.Nr, self.Nt = h.shape
         self.precision = precision
+        # Tap-stacked forms: one (Nt, Lh*Nr) matmul instead of Lh small
+        # (Nt, Nr) ones — Nr alone underfills the MXU's 128 lanes.
+        self.h_stack = h.transpose(2, 0, 1).reshape(self.Nt,
+                                                    self.Lh * self.Nr)
+        self.abs_h2_stack = jnp.abs(self.h_stack) ** 2
 
     @property
     def shape(self):
@@ -98,43 +103,49 @@ class BandedOperator:
             rows, cols = rows[keep], cols[keep]
         return rows, cols
 
-    def _fwd(self, x, taps, gains):
-        """``y[r] = sum_l gains[l, r-l] * taps[l] @ x[r-l]``."""
+    def _fwd(self, x, taps_stack, gains):
+        """``y[r] = sum_l gains[l, r-l] * taps[l] @ x[r-l]``.
+
+        One ``(B*Lin, Nt) @ (Nt, Lh*Nr)`` MXU matmul computes every
+        per-(column-block, tap) product; the gain-weighted shift-accumulate
+        over ``Lh`` is a static unrolled add chain XLA fuses.
+        """
         B = x.shape[0]
-        xb = x.reshape(B, self.Lin, self.Nt)
-        # P[b, l, c, m] = sum_n taps[l, m, n] * xb[b, c, n]
-        P = jnp.einsum("lmn,bcn->blcm", taps, xb, precision=self.precision)
+        xb = x.reshape(B * self.Lin, self.Nt)
+        # P[b, c, l, m] = sum_n taps[l, m, n] * x[b, c, n]
+        P = jnp.matmul(xb, taps_stack, precision=self.precision).reshape(
+            B, self.Lin, self.Lh, self.Nr)
         y = jnp.zeros((B, self.Lout, self.Nr), P.dtype)
         for l in range(self.Lh):
             rows, cols = self._rows(l)
-            contrib = gains[l, cols][None, :, None] * P[:, l, cols]
+            contrib = gains[l, cols][None, :, None] * P[:, cols, l]
             y = y.at[:, rows].add(contrib)
         return y.reshape(B, self.Lout * self.Nr)
 
-    def _bwd(self, z, taps, gains):
+    def _bwd(self, z, taps_stack, gains):
         """Adjoint of :meth:`_fwd` (conjugate taps)."""
         B = z.shape[0]
         zb = z.reshape(B, self.Lout, self.Nr)
-        Zl = jnp.zeros((B, self.Lh, self.Lin, self.Nr), zb.dtype)
+        Zl = jnp.zeros((B, self.Lin, self.Lh, self.Nr), zb.dtype)
         for l in range(self.Lh):
             rows, cols = self._rows(l)
-            Zl = Zl.at[:, l, cols].set(gains[l, cols][None, :, None]
+            Zl = Zl.at[:, cols, l].set(gains[l, cols][None, :, None]
                                        * zb[:, rows])
-        r = jnp.einsum("lmn,blcm->bcn", jnp.conj(taps), Zl,
-                       precision=self.precision)
+        r = jnp.matmul(Zl.reshape(B * self.Lin, self.Lh * self.Nr),
+                       jnp.conj(taps_stack).T, precision=self.precision)
         return r.reshape(B, self.Lin * self.Nt)
 
     def apply(self, x):
-        return self._fwd(x, self.h, self.gains)
+        return self._fwd(x, self.h_stack, self.gains)
 
     def apply_adj(self, r):
-        return self._bwd(r, self.h, self.gains)
+        return self._bwd(r, self.h_stack, self.gains)
 
     def apply_abs2(self, v):
-        return self._fwd(v, self.abs_h2, self.gains2).real
+        return self._fwd(v, self.abs_h2_stack, self.gains2).real
 
     def apply_abs2T(self, u):
-        return self._bwd(u, self.abs_h2, self.gains2).real
+        return self._bwd(u, self.abs_h2_stack, self.gains2).real
 
     def densify(self) -> jnp.ndarray:
         """Materialize the dense matrix (tests / SVD path)."""

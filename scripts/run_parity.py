@@ -1,0 +1,135 @@
+"""Run the reference's headline sweeps on TPU and write PARITY.md.
+
+Reproduces the operating points published in BASELINE.md (extracted from
+the reference's Simulations/ JSONs) with this framework, storing artifacts
+under Simulations/ and a side-by-side comparison in PARITY.md.
+
+Usage:  python scripts/run_parity.py [--quick]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from amp_sparc_spatialmodulation_tpu.config import (  # noqa: E402
+    Config, flagship_bamp_ook, flagship_bamp_qpsk, flagship_scamp,
+    massive_mimo)
+from amp_sparc_spatialmodulation_tpu.models.montecarlo import (  # noqa: E402
+    Simulator)
+
+# (name, cfg, algo, algo_dir, points, epochs, res, reference rows)
+# Reference values from BASELINE.md (fer, ber, T per Eb/N0).
+SWEEPS = [
+    dict(name="BAMPfinal OOK Nt=128", cfg=flagship_bamp_ook(), algo="bamp",
+         algo_dir="BAMPfinal",
+         points=[6.0, 7.0, 8.0, 8.5, 9.0, 9.5, 10.0],
+         epochs=10240, res=512,
+         ref={6.0: (0.41, 2.25e-3, 56.6), 7.0: (0.13, 5.6e-4, 29.2),
+              8.0: (1.54e-2, 5.4e-5, 10.9), 8.5: (5.2e-3, 1.7e-5, 8.5),
+              9.0: (1.2e-3, 3.4e-6, 7.0), 9.5: (6e-4, 2.5e-6, 6.4),
+              10.0: (0.0, 0.0, 6.1)}),
+    dict(name="BAMPfinal QPSK Nt=128", cfg=flagship_bamp_qpsk(),
+         algo="bamp", algo_dir="BAMPfinal",
+         points=[5.0, 7.0, 8.0, 9.0, 10.0], epochs=4096, res=512,
+         ref={5.0: (1.0, 0.151, 100), 7.0: (0.56, 1.34e-3, 67.0),
+              8.0: (0.08, 1.3e-4, 29.2), 9.0: (0.02, 2.5e-5, 16.9),
+              10.0: (0.0, 0.0, 10.5)}),
+    dict(name="VAMP OOK Nt=128", cfg=flagship_bamp_ook().replace(
+            iterations=10), algo="vamp", algo_dir="VAMP",
+         points=[5.0, 7.0, 8.0, 9.0, 10.0], epochs=4096, res=512,
+         ref={5.0: (0.890, 1.38e-2, 10), 7.0: (0.154, 1.02e-3, 10),
+              8.0: (3.54e-2, 2.3e-4, 9.97), 9.0: (6.3e-3, 6.4e-5, 7.5),
+              10.0: (1.1e-3, 7.2e-6, 5.2)}),
+    dict(name="VAMPfinal QPSK Nt=128 (non-converging)",
+         cfg=flagship_bamp_qpsk(), algo="vamp", algo_dir="VAMPfinal",
+         points=[1.0, 10.0, 17.0], epochs=1024, res=256,
+         ref={1.0: (1.0, 0.314, 10), 10.0: (1.0, 0.155, 100),
+              17.0: (1.0, 0.0913, 100)}),
+    dict(name="SCAMP QPSK sparc (non-monotone)", cfg=flagship_scamp(),
+         algo="scamp", algo_dir="SCAMP",
+         points=[11.0, 12.0, 14.0, 19.0], epochs=2048, res=256,
+         ref={11.0: (0.81, 0.133, 96), 12.0: (0.39, 4.7e-2, 78),
+              14.0: (0.25, 4.3e-2, 63), 19.0: (1.0, 0.50, 100)}),
+    dict(name="BAMP massive MIMO Nt=1344", cfg=massive_mimo().replace(
+            iterations=300), algo="bamp", algo_dir="BAMP",
+         points=[16.0, 17.0, 18.0, 20.0], epochs=512, res=128,
+         ref={16.0: (0.57, 6.7e-2, 186), 17.0: (0.24, 2.4e-2, 154),
+              18.0: (0.09, 5.0e-3, 133), 20.0: (0.0, 0.0, 111)}),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="1/8 of the trials (smoke run)")
+    ap.add_argument("--only", default=None, help="substring filter on name")
+    ap.add_argument("--out", default="Simulations")
+    args = ap.parse_args()
+
+    rows = []
+    for sw in SWEEPS:
+        if args.only and args.only not in sw["name"]:
+            continue
+        cfg = sw["cfg"]
+        epochs = max(sw["res"], sw["epochs"] // (8 if args.quick else 1))
+        sim = Simulator(cfg, algo=sw["algo"], channel_kind="sparc",
+                        out_root=args.out, algo_dir=sw["algo_dir"])
+        print(f"=== {sw['name']} (epochs={epochs}, res={sw['res']}) ===",
+              flush=True)
+        from amp_sparc_spatialmodulation_tpu.utils import artifacts
+
+        done = artifacts.load_points(sim.path)
+        for i, p in enumerate(sw["points"]):
+            t0 = time.perf_counter()
+            if p in done:
+                avg = done[p]
+            else:
+                avg = sim.run_point(p, epochs=epochs, res=sw["res"],
+                                    snr_idx=i)
+            dt = time.perf_counter() - t0
+            import numpy as np
+
+            snr_db = p + 10 * np.log10(cfg.code_rate)
+            if p not in done:
+                artifacts.export_point(sim.path, p, snr_db, cfg, avg)
+            ref_fer, ref_ber, ref_T = sw["ref"][p]
+            rows.append((sw["name"], p, avg["fer"], ref_fer, avg["ber"],
+                         ref_ber, avg["T"], ref_T, epochs))
+            print(f"  EbN0={p}: FER {avg['fer']:.3e} (ref {ref_fer:.3e}) "
+                  f"BER {avg['ber']:.3e} (ref {ref_ber:.3e}) "
+                  f"T {avg['T']:.1f} (ref {ref_T}) [{dt:.0f}s]", flush=True)
+
+    # merge with rows from previous invocations
+    store = {}
+    if os.path.exists("parity_rows.json"):
+        store = json.load(open("parity_rows.json"))
+    for r in rows:
+        store[f"{r[0]}|{r[1]}"] = list(r)
+    with open("parity_rows.json", "w") as f:
+        json.dump(store, f, indent=1)
+    rows = [tuple(v) for v in store.values()]
+    rows.sort(key=lambda r: (r[0], r[1]))
+
+    with open("PARITY.md", "w") as f:
+        f.write("# PARITY — TPU framework vs reference published curves\n\n")
+        f.write("Reference values from BASELINE.md (the reference's own "
+                "Simulations/ JSONs).  Ours measured on one TPU v5e chip; "
+                "trials per point as listed (reference used 10k trials on "
+                "its final sweeps; Monte-Carlo CI applies to both sides).\n\n")
+        f.write("| sweep | Eb/N0 (dB) | FER (ours) | FER (ref) | BER (ours)"
+                " | BER (ref) | T (ours) | T (ref) | trials |\n")
+        f.write("|---|---|---|---|---|---|---|---|---|\n")
+        for r in rows:
+            f.write(f"| {r[0]} | {r[1]} | {r[2]:.3e} | {r[3]:.3e} | "
+                    f"{r[4]:.3e} | {r[5]:.3e} | {r[6]:.1f} | {r[7]} | "
+                    f"{r[8]} |\n")
+    print("wrote PARITY.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()
