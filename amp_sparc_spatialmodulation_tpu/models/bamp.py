@@ -80,7 +80,10 @@ def make_denoiser(cfg: Config):
 
 def decode(H, y: jnp.ndarray, sigma2, cfg: Config,
            *, precision=lax.Precision.HIGHEST,
-           use_pallas: bool = False) -> DecodeResult:
+           use_pallas: bool = False,
+           state0: BAMPState | None = None,
+           iter_cap: int | None = None,
+           return_state: bool = False):
     """Run BAMP on a batch of trials sharing one channel operator.
 
     Args:
@@ -93,9 +96,16 @@ def decode(H, y: jnp.ndarray, sigma2, cfg: Config,
         use_pallas: run the linear part of each iteration as one fused
             Pallas kernel (requires a banded operator; falls back to
             interpret mode off-TPU).
+        state0 / iter_cap / return_state: resumable decoding — start from a
+            previous :class:`BAMPState`, stop at ``iter_cap`` iterations,
+            and/or return the final state.  Splitting a decode at any cap
+            and continuing yields the identical trajectory (the basis of
+            the sweep engine's continuation batching, where the slow tail
+            of a trial batch is compacted and finished separately).
 
     Returns:
-        :class:`DecodeResult` with per-trial iteration counts.
+        :class:`DecodeResult` with per-trial iteration counts (and the
+        final :class:`BAMPState` when ``return_state``).
     """
     from ..ops import operators
 
@@ -115,19 +125,21 @@ def decode(H, y: jnp.ndarray, sigma2, cfg: Config,
             op, B, interpret=jax.default_backend() != "tpu")
 
     sigma2 = jnp.asarray(sigma2, jnp.float32)
-    state0 = BAMPState(
-        xmap=jnp.zeros((B, N), cdtype),
-        xmmse=jnp.zeros((B, N), cdtype),
-        var=jnp.ones((B, N), jnp.float32),
-        z=y,
-        u=jnp.full((B, n), sigma2, jnp.float32),
-        active=jnp.ones((B,), bool),
-        T=jnp.zeros((B,), jnp.int32),
-        t=jnp.zeros((), jnp.int32),
-    )
+    if state0 is None:
+        state0 = BAMPState(
+            xmap=jnp.zeros((B, N), cdtype),
+            xmmse=jnp.zeros((B, N), cdtype),
+            var=jnp.ones((B, N), jnp.float32),
+            z=y,
+            u=jnp.full((B, n), sigma2, jnp.float32),
+            active=jnp.ones((B,), bool),
+            T=jnp.zeros((B,), jnp.int32),
+            t=jnp.zeros((), jnp.int32),
+        )
+    cap = cfg.N_Layers if iter_cap is None else iter_cap
 
     def cond(s: BAMPState):
-        return jnp.logical_and(s.t < cfg.N_Layers, jnp.any(s.active))
+        return jnp.logical_and(s.t < cap, jnp.any(s.active))
 
     def body(s: BAMPState) -> BAMPState:
         # One AMP iteration (`bamp.py:59-64`).
@@ -154,4 +166,7 @@ def decode(H, y: jnp.ndarray, sigma2, cfg: Config,
         )
 
     s = lax.while_loop(cond, body, state0)
-    return DecodeResult(xmap=s.xmap, xmmse=s.xmmse, var=s.var, T=s.T)
+    result = DecodeResult(xmap=s.xmap, xmmse=s.xmmse, var=s.var, T=s.T)
+    if return_state:
+        return result, s
+    return result

@@ -115,6 +115,130 @@ def make_realization_fn(cfg: Config, algo: str, channel_kind: str, res: int,
     return one_realization
 
 
+def make_two_phase_fns(cfg: Config, channel_kind: str, res: int, k1: int,
+                       precision=jax.lax.Precision.HIGHEST,
+                       operator_form: str = "auto",
+                       use_pallas: bool = False):
+    """Continuation-batched BAMP realization (phase1 / phase2 / evaluate).
+
+    A batched decode runs until its SLOWEST trial converges — at the
+    flagship 8 dB point the batch mean is ~11 iterations but ~2% of trials
+    run to the 100-iteration cap, so a single ``while_loop`` wastes ~9x
+    the useful work.  Continuation batching caps phase 1 at ``k1``
+    iterations, gathers the unconverged tail into a small padded bucket,
+    and finishes it separately — the decode trajectory is bit-identical
+    (resumable ``lax.while_loop`` state), only the batch shape changes.
+
+    Returns ``(phase1, phase2_for, evaluate)``:
+      phase1(key, snr) -> (msg, state)
+      phase2_for(bucket)(key, y_sub, state_sub, snr) -> state_sub'
+      evaluate(state, msg) -> metric sums
+    """
+    from ..ops import operators
+
+    if operator_form == "auto":
+        operator_form = "banded" if channel_kind != "iid" else "dense"
+
+    def build(key, snr):
+        k_chan, k_msg, k_noise = jax.random.split(key, 3)
+        msg = message_ops.generate_message(k_msg, cfg, res)
+        if operator_form == "banded":
+            if channel_kind == "sparc":
+                _, A = operators.banded_sparc(k_chan, cfg,
+                                              precision=precision)
+            else:
+                A = operators.banded_toeplitz(k_chan, cfg,
+                                              precision=precision)
+            y = A.apply(msg.x) + channel_ops.awgn(k_noise, cfg, snr, res)
+        else:
+            if channel_kind == "sparc":
+                _, A = channel_ops.generate_as_sparc(k_chan, cfg)
+            elif channel_kind == "toeplitz":
+                A = channel_ops.generate_channel(k_chan, cfg)
+            else:
+                A = channel_ops.generate_as_random(k_chan, cfg)
+            y = (jnp.matmul(msg.x, A.T, precision=precision)
+                 + channel_ops.awgn(k_noise, cfg, snr, res))
+        return msg, A, y
+
+    @jax.jit
+    def phase1(key, snr):
+        msg, A, y = build(key, snr)
+        sigma2 = cfg.E / snr
+        _, state = bamp.decode(A, y, sigma2, cfg, precision=precision,
+                               use_pallas=use_pallas, iter_cap=k1,
+                               return_state=True)
+        return msg, y, state
+
+    _phase2_cache = {}
+
+    def phase2_for(bucket: int):
+        if bucket not in _phase2_cache:
+            @jax.jit
+            def phase2(key, y_sub, state_sub, snr):
+                k_chan, _, _ = jax.random.split(key, 3)
+                sigma2 = cfg.E / snr
+                if operator_form == "banded":
+                    if channel_kind == "sparc":
+                        _, A = operators.banded_sparc(k_chan, cfg,
+                                                      precision=precision)
+                    else:
+                        A = operators.banded_toeplitz(k_chan, cfg,
+                                                      precision=precision)
+                else:
+                    if channel_kind == "sparc":
+                        _, A = channel_ops.generate_as_sparc(k_chan, cfg)
+                    elif channel_kind == "toeplitz":
+                        A = channel_ops.generate_channel(k_chan, cfg)
+                    else:
+                        A = channel_ops.generate_as_random(k_chan, cfg)
+                _, s = bamp.decode(A, y_sub, sigma2, cfg,
+                                   precision=precision,
+                                   use_pallas=use_pallas,
+                                   state0=state_sub, return_state=True)
+                return s
+
+            _phase2_cache[bucket] = phase2
+        return _phase2_cache[bucket]
+
+    @jax.jit
+    def scatter_eval(state, sub_state, pad_idx, msg):
+        upd = lambda full, sub: full.at[pad_idx].set(sub)
+        xmap = upd(state.xmap, sub_state.xmap)
+        xmmse = upd(state.xmmse, sub_state.xmmse)
+        T = upd(state.T, sub_state.T)
+        return metrics.evaluate_sums(xmap, xmmse, msg, T, cfg)
+
+    @jax.jit
+    def evaluate(state, msg):
+        return metrics.evaluate_sums(state.xmap, state.xmmse, msg,
+                                     state.T, cfg)
+
+    return phase1, phase2_for, scatter_eval, evaluate
+
+
+def run_two_phase_realization(fns, key, snr, min_bucket: int = 64):
+    """Host orchestration of one continuation-batched realization."""
+    phase1, phase2_for, scatter_eval, evaluate = fns
+    msg, y, state = phase1(key, snr)
+    active = np.asarray(state.active)
+    n_active = int(active.sum())
+    if n_active == 0:
+        return evaluate(state, msg)
+    idx = np.flatnonzero(active)
+    bucket = max(min_bucket, 1 << (n_active - 1).bit_length())
+    bucket = min(bucket, active.size)
+    pad_idx = np.concatenate(
+        [idx, np.full(bucket - len(idx), idx[0], idx.dtype)])
+    pad_idx = jnp.asarray(pad_idx)
+    sub = jax.tree_util.tree_map(
+        lambda a: a[pad_idx] if getattr(a, "ndim", 0) >= 1
+        and a.shape[0] == active.size else a, state)
+    y_sub = y[pad_idx]
+    sub_final = phase2_for(bucket)(key, y_sub, sub, snr)
+    return scatter_eval(state, sub_final, pad_idx, msg)
+
+
 class Simulator:
     """Sweep driver for one (config, algorithm) pair.
 
@@ -136,9 +260,12 @@ class Simulator:
                  channel_kind: str = "sparc", out_root: str = "Simulations",
                  algo_dir: Optional[str] = None, seed: int = 0,
                  chans_per_batch: int = 1, estimate_phi: bool = False,
-                 operator_form: str = "auto",
+                 operator_form: str = "auto", two_phase: Optional[int] = None,
+                 use_pallas: bool = False,
                  precision=jax.lax.Precision.HIGHEST,
                  progress: Callable[[str], None] = print):
+        if two_phase is not None and algo != "bamp":
+            raise ValueError("two_phase continuation batching is bamp-only")
         if algo not in ("bamp", "vamp", "vamp2", "scamp"):
             raise ValueError(f"unknown algo {algo!r}")
         if algo == "scamp" and channel_kind != "sparc":
@@ -150,11 +277,14 @@ class Simulator:
         self.chans_per_batch = chans_per_batch
         self.estimate_phi = estimate_phi
         self.operator_form = operator_form
+        self.two_phase = two_phase
+        self.use_pallas = use_pallas
         self.precision = precision
         self.progress = progress
         self.path = os.path.join(out_root, algo_dir or ALGO_DIRS[algo],
                                  cfg.name)
         self._step = None  # compiled lazily per (res,) shape
+        self._tp_fns = None
 
     # --- one jitted step: C channel realizations x res trials -------------
 
@@ -186,13 +316,26 @@ class Simulator:
         cfg = self.cfg
         snr_db = ebn0_db + 10 * np.log10(cfg.code_rate)
         snr = 10 ** (snr_db / 10)
-        step = self.step_fn(res)
         n_real = max(1, int(np.ceil(epochs / res)))
-        C = self.chans_per_batch
-        n_calls = int(np.ceil(n_real / C))
         base = jax.random.fold_in(jax.random.PRNGKey(self.seed), snr_idx)
         snr_dev = jnp.asarray(snr, jnp.float32)  # avoid per-value retracing
         total = None
+        if self.two_phase is not None:
+            if self._tp_fns is None or self._tp_fns[0] != res:
+                self._tp_fns = (res, make_two_phase_fns(
+                    self.cfg, self.channel_kind, res, self.two_phase,
+                    precision=self.precision,
+                    operator_form=self.operator_form,
+                    use_pallas=self.use_pallas))
+            fns = self._tp_fns[1]
+            for c in range(n_real):
+                key = jax.random.fold_in(base, c)
+                total = metrics.accumulate(
+                    total, run_two_phase_realization(fns, key, snr_dev))
+            return metrics.finalize(total, cfg)
+        step = self.step_fn(res)
+        C = self.chans_per_batch
+        n_calls = int(np.ceil(n_real / C))
         for c in range(n_calls):
             keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
                 jnp.arange(c * C, (c + 1) * C))

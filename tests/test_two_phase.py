@@ -1,0 +1,28 @@
+"""Continuation batching must be trajectory-identical to single-phase."""
+import jax
+import numpy as np
+import pytest
+
+from amp_sparc_spatialmodulation_tpu.config import Config
+from amp_sparc_spatialmodulation_tpu.models.montecarlo import Simulator
+
+
+@pytest.mark.parametrize("k1", [4, 12])
+def test_two_phase_matches_single_phase(tmp_path, k1):
+    cfg = Config(Nt=16, Na=4, Nr=10, Lin=6, Lh=3, mode="segmented",
+                 alphabet="OOK", profile="uniform", trunc="tail",
+                 iterations=40)
+    s1 = Simulator(cfg, algo="bamp", out_root=str(tmp_path / "a"))
+    s2 = Simulator(cfg, algo="bamp", out_root=str(tmp_path / "b"),
+                   two_phase=k1)
+    a1 = s1.run_point(6.0, epochs=256, res=64)
+    a2 = s2.run_point(6.0, epochs=256, res=64)
+    for k, v in a1.items():
+        assert a2[k] == pytest.approx(v, rel=1e-5, abs=1e-9), k
+
+
+def test_two_phase_rejected_for_other_algos(tmp_path):
+    cfg = Config(Nt=16, Na=4, Nr=10, Lin=6, Lh=3, mode="segmented",
+                 alphabet="OOK", trunc="tail")
+    with pytest.raises(ValueError):
+        Simulator(cfg, algo="vamp", out_root=str(tmp_path), two_phase=8)
