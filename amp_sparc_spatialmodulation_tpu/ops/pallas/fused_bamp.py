@@ -2,7 +2,7 @@
 
 One AMP iteration (`/root/reference/bamp.py:59-63`) is four banded linear
 maps plus an elementwise chain.  The XLA path (``ops.operators``) runs
-them as four separate matmul kernels with every intermediate round-tripping
+them as separate matmul kernels with every intermediate round-tripping
 HBM.  This kernel performs the WHOLE linear part of one iteration in a
 single pass per trial tile, entirely in VMEM:
 
@@ -12,21 +12,20 @@ single pass per trial tile, entirely in VMEM:
     cov   = 1 / (|H|^2^T @ (1/u'))       (banded adjoint, MXU)
     xmap  = xmmse + cov * (H^H @ ((y - z') / u'))
 
-Complex state crosses the kernel boundary as split re/im float32 planes
-(TPU Pallas has no native complex); the banded structure enters through
-the tap-stacked matrices ``S = h.reshape -> (Nt, Lh*Nr)`` and per-(tap,
-column-block) gains, exactly as in ``ops.operators.BandedOperator``.
+Mosaic-native layout: the TRIAL BATCH is the lane (last) dimension.
+State crosses the kernel as split re/im float32 planes shaped
+``(Lin, Nt, B)`` / ``(Lout, Nr, B)`` (complex is unsupported in Mosaic),
+and every in-kernel op is strictly 2-D — per-channel-use-block matmuls
+``(Lh*Nr, Nt) @ (Nt, B_tile)`` over a static ``Lin`` loop, plus 2-D
+slices/concats for the band shift-accumulate.  No reshapes that split the
+lane dimension (Mosaic's ``infer-vector-layout`` rejects those).
 
-Grid: 1-D over trial tiles (``B_tile`` trials per program).  Everything a
-program touches fits in VMEM: x-side planes are ``(B_tile, Lin*Nt)``,
-y-side planes ``(B_tile, Lout*Nr)``, the tap stacks are a few hundred KB.
-The denoiser stays outside (XLA fuses its elementwise chain well and it
-differs per algorithm/alphabet).
+Grid: 1-D over trial tiles.  The denoiser stays outside (XLA fuses its
+elementwise chain well and it differs per algorithm/alphabet).
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,48 +34,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fwd_band(P, gains, trunc, B, Lin, Lout, Nr, Lh):
-    """Shift-accumulate P (B, Lin, Lh, Nr) into y (B, Lout*Nr).
-
-    The band is contiguous in the column-block dimension, so every tap is
-    a static slice (Pallas kernels cannot capture index-array constants).
-    """
-    def zeros(k):
-        return jnp.zeros((B, k, Nr), P.dtype)
-
-    y = jnp.zeros((B, Lout, Nr), P.dtype)
-    for l in range(Lh):
-        w = gains[l][None, :, None] * P[:, :, l]          # (B, Lin, Nr)
-        if trunc == "tail":
-            parts = ([zeros(l)] if l else []) + [w]
-            if Lout - Lin - l:
-                parts.append(zeros(Lout - Lin - l))
-            y = y + jnp.concatenate(parts, axis=1)
-        elif trunc == "trunc":
-            parts = ([zeros(l)] if l else []) + [w[:, :Lin - l]]
-            y = y + (jnp.concatenate(parts, axis=1) if l else w)
-        else:  # cyclic: block c lands on row (c+l) mod Lin
-            y = y + (jnp.roll(w, l, axis=1) if l else w)
-    return y.reshape(B, Lout * Nr)
-
-
-def _bwd_band(z, gains, trunc, B, Lin, Lout, Nr, Lh):
-    """Gather gain-weighted z blocks into Z (B*Lin, Lh*Nr) (adjoint)."""
-    zb = z.reshape(B, Lout, Nr)
-    parts = []
-    for l in range(Lh):
-        if trunc == "tail":
-            g = gains[l][None, :, None] * zb[:, l:l + Lin]
-        elif trunc == "trunc":
-            w = gains[l][None, :Lin - l, None] * zb[:, l:Lin]
-            g = (jnp.concatenate([w, jnp.zeros((B, l, Nr), z.dtype)],
-                                 axis=1) if l else w)
-        else:  # cyclic
-            g = gains[l][None, :, None] * (jnp.roll(zb, -l, axis=1)
-                                           if l else zb)
-        parts.append(g)
-    Z = jnp.stack(parts, axis=2)                          # (B, Lin, Lh, Nr)
-    return Z.reshape(B * Lin, Lh * Nr)
+def _row_of(c, l, Lin, Lout, trunc):
+    """Output block row hit by tap ``l`` of column block ``c`` (or None)."""
+    r = c + l
+    if trunc == "cyclic":
+        return r % Lin
+    return r if r < Lout else None
 
 
 def _iteration_kernel(sigma2_ref, xm_re_ref, xm_im_ref, var_ref,
@@ -85,61 +48,87 @@ def _iteration_kernel(sigma2_ref, xm_re_ref, xm_im_ref, var_ref,
                       xmap_re_ref, xmap_im_ref, cov_ref,
                       zn_re_ref, zn_im_ref, un_ref,
                       *, Lin, Lout, Lh, Nt, Nr, trunc):
-    B = xm_re_ref.shape[0]
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
     sigma2 = sigma2_ref[0]
+    S_re, S_im, S_a2 = S_re_ref[:], S_im_ref[:], S_a2_ref[:]  # (Nt, Lh*Nr)
 
-    S_re, S_im, S_a2 = S_re_ref[:], S_im_ref[:], S_a2_ref[:]
-    g, g2 = g_ref[:], g2_ref[:]
+    # ---- forward banded maps, one channel-use block at a time ----------
+    # v[r] = sum_l g2[l, r-l] |h_l|^2 var[r-l] ;  Hx likewise with h.
+    # Accumulate into the y-side output refs (zero-init first).
+    for r in range(Lout):
+        zn_re_ref[r] = jnp.zeros_like(zn_re_ref[r])
+        zn_im_ref[r] = jnp.zeros_like(zn_im_ref[r])
+        un_ref[r] = jnp.zeros_like(un_ref[r])
 
-    # ---- forward banded maps: v = |H|^2 var ; Hx = H xmmse -------------
-    var2d = var_ref[:].reshape(B * Lin, Nt)
-    Pv = dot(var2d, S_a2).reshape(B, Lin, Lh, Nr)
-    v = _fwd_band(Pv, g2, trunc, B, Lin, Lout, Nr, Lh)          # (B, n)
-
-    xr2d = xm_re_ref[:].reshape(B * Lin, Nt)
-    xi2d = xm_im_ref[:].reshape(B * Lin, Nt)
-    P_re = (dot(xr2d, S_re) - dot(xi2d, S_im)).reshape(B, Lin, Lh, Nr)
-    P_im = (dot(xr2d, S_im) + dot(xi2d, S_re)).reshape(B, Lin, Lh, Nr)
-    Hx_re = _fwd_band(P_re, g, trunc, B, Lin, Lout, Nr, Lh)
-    Hx_im = _fwd_band(P_im, g, trunc, B, Lin, Lout, Nr, Lh)
+    for c in range(Lin):
+        xc_re = xm_re_ref[c]                     # (Nt, B)
+        xc_im = xm_im_ref[c]
+        vc = var_ref[c]
+        # (Nt, B).T-free matmuls: S.T is (Lh*Nr, Nt)
+        Pv = dot(S_a2.T, vc)                     # (Lh*Nr, B)
+        Pr = dot(S_re.T, xc_re) - dot(S_im.T, xc_im)
+        Pi = dot(S_im.T, xc_re) + dot(S_re.T, xc_im)
+        for l in range(Lh):
+            r = _row_of(c, l, Lin, Lout, trunc)
+            if r is None:
+                continue
+            sl = slice(l * Nr, (l + 1) * Nr)
+            un_ref[r] += g2_ref[l, c] * Pv[sl]
+            zn_re_ref[r] += g_ref[l, c] * Pr[sl]
+            zn_im_ref[r] += g_ref[l, c] * Pi[sl]
 
     # ---- Onsager residual + variances (`bamp.py:60-61`) ----------------
-    y_re, y_im = y_re_ref[:], y_im_ref[:]
-    w = v / u_ref[:]
-    zn_re = Hx_re - w * (y_re - z_re_ref[:])
-    zn_im = Hx_im - w * (y_im - z_im_ref[:])
-    un = v + sigma2
-    zn_re_ref[:] = zn_re
-    zn_im_ref[:] = zn_im
-    un_ref[:] = un
+    # At this point un_ref holds v, zn_ref holds Hx.
+    for r in range(Lout):
+        v = un_ref[r]
+        w = v / u_ref[r]
+        zn_re_ref[r] = zn_re_ref[r] - w * (y_re_ref[r] - z_re_ref[r])
+        zn_im_ref[r] = zn_im_ref[r] - w * (y_im_ref[r] - z_im_ref[r])
+        un_ref[r] = v + sigma2
 
-    # ---- backward banded maps: cov and H^H resid (`bamp.py:62-63`) -----
-    uinv = 1.0 / un
-    Zc = _bwd_band(uinv, g2, trunc, B, Lin, Lout, Nr, Lh)
-    cov = 1.0 / dot(Zc, S_a2.T).reshape(B, Lin * Nt)
-    cov_ref[:] = cov
-
-    r_re = (y_re - zn_re) * uinv
-    r_im = (y_im - zn_im) * uinv
-    Z_re = _bwd_band(r_re, g, trunc, B, Lin, Lout, Nr, Lh)
-    Z_im = _bwd_band(r_im, g, trunc, B, Lin, Lout, Nr, Lh)
-    # H^H r = (Z @ conj(S)).T-form: re = Zre Sre^T + Zim Sim^T, etc.
-    adj_re = (dot(Z_re, S_re.T) + dot(Z_im, S_im.T)).reshape(B, Lin * Nt)
-    adj_im = (dot(Z_im, S_re.T) - dot(Z_re, S_im.T)).reshape(B, Lin * Nt)
-    xmap_re_ref[:] = xm_re_ref[:] + cov * adj_re
-    xmap_im_ref[:] = xm_im_ref[:] + cov * adj_im
+    # ---- backward banded maps (`bamp.py:62-63`) ------------------------
+    for c in range(Lin):
+        zs_c, zs_re, zs_im = [], [], []
+        for l in range(Lh):
+            r = _row_of(c, l, Lin, Lout, trunc)
+            if r is None:
+                uinv = jnp.zeros_like(un_ref[0])
+                rr = jnp.zeros_like(uinv)
+                ri = rr
+            else:
+                uinv = 1.0 / un_ref[r]
+                rr = (y_re_ref[r] - zn_re_ref[r]) * uinv
+                ri = (y_im_ref[r] - zn_im_ref[r]) * uinv
+            zs_c.append(g2_ref[l, c] * uinv)
+            zs_re.append(g_ref[l, c] * rr)
+            zs_im.append(g_ref[l, c] * ri)
+        Zc = jnp.concatenate(zs_c, axis=0)       # (Lh*Nr, B)
+        Zr = jnp.concatenate(zs_re, axis=0)
+        Zi = jnp.concatenate(zs_im, axis=0)
+        cov_c = 1.0 / dot(S_a2, Zc)              # (Nt, B)
+        # H^H r: re = S_re Zr + S_im Zi ; im = S_re Zi - S_im Zr
+        adj_re = dot(S_re, Zr) + dot(S_im, Zi)
+        adj_im = dot(S_re, Zi) - dot(S_im, Zr)
+        cov_ref[c] = cov_c
+        xmap_re_ref[c] = xm_re_ref[c] + cov_c * adj_re
+        xmap_im_ref[c] = xm_im_ref[c] + cov_c * adj_im
 
 
 def _pick_tile(B: int, N: int, n: int, Lh: int, Nr: int, Nt: int) -> int:
-    """Largest power-of-two trial tile whose working set fits VMEM."""
-    budget = 10 * 1024 * 1024
-    for tile in (256, 128, 64, 32, 16, 8):
+    """Largest trial tile (lane dim) whose working set fits VMEM.
+
+    When the grid has more than one program, Pallas double-buffers the
+    grid-dependent blocks (pipelined prefetch), so the budget must cover
+    TWO copies of every blocked operand.
+    """
+    budget = 11 * 1024 * 1024
+    for tile in (512, 256, 128, 64, 32, 16, 8):
         if B % tile != 0:
             continue
-        xside = 7 * tile * N * 4             # xm re/im, var, cov, xmap re/im, P
+        xside = 6 * tile * N * 4
         yside = 9 * tile * n * 4
-        if xside + yside < budget:
+        mult = 1 if tile == B else 2          # double-buffered when grid > 1
+        if mult * (xside + yside) < budget:
             return tile
     return 0
 
@@ -148,33 +137,34 @@ def _pick_tile(B: int, N: int, n: int, Lh: int, Nr: int, Nt: int) -> int:
 def _call(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
           S_re, S_im, S_a2, g, g2, geom, interpret):
     Lin, Lout, Lh, Nt, Nr, tile, trunc = geom
-    B = xm_re.shape[0]
-    N, n = Lin * Nt, Lout * Nr
+    B = xm_re.shape[-1]
     grid = (B // tile,)
 
     def xspec():
-        return pl.BlockSpec((tile, N), lambda i: (i, 0),
+        return pl.BlockSpec((Lin, Nt, tile), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
 
     def yspec():
-        return pl.BlockSpec((tile, n), lambda i: (i, 0),
+        return pl.BlockSpec((Lout, Nr, tile), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
 
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     kern = functools.partial(_iteration_kernel, Lin=Lin, Lout=Lout, Lh=Lh,
                              Nt=Nt, Nr=Nr, trunc=trunc)
-    out_shape = [jax.ShapeDtypeStruct((B, N), jnp.float32),   # xmap re
-                 jax.ShapeDtypeStruct((B, N), jnp.float32),   # xmap im
-                 jax.ShapeDtypeStruct((B, N), jnp.float32),   # cov
-                 jax.ShapeDtypeStruct((B, n), jnp.float32),   # z re
-                 jax.ShapeDtypeStruct((B, n), jnp.float32),   # z im
-                 jax.ShapeDtypeStruct((B, n), jnp.float32)]   # u
+    out_shape = [jax.ShapeDtypeStruct((Lin, Nt, B), jnp.float32),  # xmap re
+                 jax.ShapeDtypeStruct((Lin, Nt, B), jnp.float32),  # xmap im
+                 jax.ShapeDtypeStruct((Lin, Nt, B), jnp.float32),  # cov
+                 jax.ShapeDtypeStruct((Lout, Nr, B), jnp.float32),  # z re
+                 jax.ShapeDtypeStruct((Lout, Nr, B), jnp.float32),  # z im
+                 jax.ShapeDtypeStruct((Lout, Nr, B), jnp.float32)]  # u
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]      # sigma2 (1,)
         + [xspec(), xspec(), xspec(), yspec(), yspec(), yspec(),
-           yspec(), yspec(), full(), full(), full(), full(), full()],
+           yspec(), yspec(), full(), full(), full(),
+           pl.BlockSpec(memory_space=pltpu.SMEM),      # gains
+           pl.BlockSpec(memory_space=pltpu.SMEM)],     # gains^2
         out_specs=[xspec(), xspec(), xspec(), yspec(), yspec(), yspec()],
         out_shape=out_shape,
         interpret=interpret,
@@ -186,9 +176,9 @@ class FusedBandedIteration:
     """Callable wrapping the fused kernel for a fixed banded operator.
 
     Built from an :class:`..operators.BandedOperator`; ``__call__`` maps
-    complex jnp state to split planes, runs the kernel, and returns
-    ``(xmap, cov, z_new, u_new)`` as complex/real jnp arrays — a drop-in
-    for the linear part of the BAMP iteration body.
+    (B, ·)-major complex jnp state to the kernel's lane-major split planes,
+    runs the kernel, and returns ``(xmap, cov, z_new, u_new)`` in the
+    decoder's layout — a drop-in for the linear part of the BAMP iteration.
     """
 
     def __init__(self, op, batch: int, interpret: bool = False):
@@ -205,13 +195,34 @@ class FusedBandedIteration:
         self.g = op.gains
         self.g2 = op.gains2
 
+    def _to_x(self, a):
+        """(B, Lin*Nt) -> (Lin, Nt, B)."""
+        B = a.shape[0]
+        return a.reshape(B, self.op.Lin, self.op.Nt).transpose(1, 2, 0)
+
+    def _to_y(self, a):
+        B = a.shape[0]
+        return a.reshape(B, self.op.Lout, self.op.Nr).transpose(1, 2, 0)
+
+    def _from_x(self, a):
+        return a.transpose(2, 0, 1).reshape(a.shape[2], -1)
+
+    def _from_y(self, a):
+        return a.transpose(2, 0, 1).reshape(a.shape[2], -1)
+
     def __call__(self, xmmse, var, z, u, y, sigma2):
         sig = jnp.asarray(sigma2, jnp.float32).reshape(1)
-        out = _call(sig, jnp.real(xmmse), jnp.imag(xmmse), var,
-                    jnp.real(z), jnp.imag(z), u,
-                    jnp.real(y), jnp.imag(y),
+        out = _call(sig,
+                    self._to_x(jnp.real(xmmse)), self._to_x(jnp.imag(xmmse)),
+                    self._to_x(var),
+                    self._to_y(jnp.real(z)), self._to_y(jnp.imag(z)),
+                    self._to_y(u),
+                    self._to_y(jnp.real(y)), self._to_y(jnp.imag(y)),
                     self.S_re, self.S_im, self.S_a2, self.g, self.g2,
                     self.geom, self.interpret)
         xmap_re, xmap_im, cov, zr, zi, un = out
-        return (jax.lax.complex(xmap_re, xmap_im), cov,
-                jax.lax.complex(zr, zi), un)
+        return (jax.lax.complex(self._from_x(xmap_re),
+                                self._from_x(xmap_im)),
+                self._from_x(cov),
+                jax.lax.complex(self._from_y(zr), self._from_y(zi)),
+                self._from_y(un))
