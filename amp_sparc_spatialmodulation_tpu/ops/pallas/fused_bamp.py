@@ -22,6 +22,16 @@ lane dimension (Mosaic's ``infer-vector-layout`` rejects those).
 
 Grid: 1-D over trial tiles.  The denoiser stays outside (XLA fuses its
 elementwise chain well and it differs per algorithm/alphabet).
+
+Backend status (round 1): the kernel is numerically exact vs the XLA path
+(interpret mode on CPU; all three truncation geometries) and compiles and
+runs STANDALONE on a real v5e through the axon remote-compile tunnel.
+Wrapping it in ``lax.while_loop``/``fori_loop`` currently dies in the
+remote AOT compile helper with an opaque ``UNIMPLEMENTED`` (minimal Pallas
+kernels inside the same loops work, so it is a size/structure interaction
+in the tunnel's chipless TpuAotCompiler, not a fundamental one).  The XLA
+banded path therefore remains the production default (``use_pallas=False``)
+until the in-loop compile is resolved on a directly-attached TPU.
 """
 from __future__ import annotations
 

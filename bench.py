@@ -43,9 +43,17 @@ def main():
 
     log(f"platform={jax.default_backend()} devices={jax.devices()}")
     form = os.environ.get("BENCH_OPERATOR", "banded")
-    fn = montecarlo.make_realization_fn(cfg, "bamp", "sparc", res,
-                                        operator_form=form)
-    step = jax.jit(fn)
+    two_phase = int(os.environ.get("BENCH_TWO_PHASE", "24"))
+    if two_phase > 0:
+        fns = montecarlo.make_two_phase_fns(cfg, "sparc", res, two_phase,
+                                            operator_form=form)
+
+        def step(key, snr):
+            return montecarlo.run_two_phase_realization(fns, key, snr)
+    else:
+        fn = montecarlo.make_realization_fn(cfg, "bamp", "sparc", res,
+                                            operator_form=form)
+        step = jax.jit(fn)
 
     base = jax.random.PRNGKey(0)
     # warmup / compile

@@ -32,15 +32,17 @@ def test_dp_sharded_step_matches_serial(eight_devices):
     cfg = _cfg()
     res = 4
     m = mesh_mod.make_mesh(trials=8, model=1, devices=eight_devices)
-    step = psweep.make_sharded_step(cfg, "bamp", "sparc", res, m)
+    step = psweep.make_sharded_step(cfg, "bamp", "sparc", res, m,
+                                    operator_form="banded")
     base = jax.random.PRNGKey(7)
     keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
         jnp.arange(8)).reshape(8, 1, 2)
     snr = jnp.asarray(6.0, jnp.float32)
     sharded = {k: float(v) for k, v in step(keys, snr).items()}
 
-    # serial recomputation with the same keys
-    fn = montecarlo.make_realization_fn(cfg, "bamp", "sparc", res)
+    # serial recomputation with the same keys and the same operator form
+    fn = montecarlo.make_realization_fn(cfg, "bamp", "sparc", res,
+                                        operator_form="banded")
     total = None
     for i in range(8):
         sums = fn(jax.random.fold_in(base, i), snr)
