@@ -68,14 +68,29 @@ def _freeze(mask, new, old):
 
 
 def make_denoiser(cfg: Config):
-    """Denoiser selected statically from config (`bamp.py:43-46`)."""
+    """Denoiser selected statically from config (`bamp.py:43-46`).
+
+    The ``tau/2`` halving (`bamp.py:68`) is the complex-Gaussian
+    calibration — ``exp(Re(r conj(s))/(tau/2)) = exp(2 Re(r conj(s))/tau)``
+    matches ``exp(-|r-s|^2/tau)``.  For the real-valued channel mode the
+    exact likelihood is ``exp(-(r-s)^2/(2 tau))``, i.e. NO halving (and a
+    doubled covariance in the mixture form).
+    """
     symbols = jnp.asarray(cfg.symbols)
     if cfg.mode in ("segmented", "sparc"):
         return partial(denoise.segmented_posterior, symbols=symbols,
-                       L=cfg.L, M=cfg.M, halve_tau=True,
+                       L=cfg.L, M=cfg.M, halve_tau=cfg.is_complex,
                        variance="decomposed")
-    return partial(denoise.bernoulli_mixture_posterior, symbols=symbols,
-                   Ps=cfg.Ps, P0=cfg.P0)
+    if cfg.is_complex:
+        return partial(denoise.bernoulli_mixture_posterior, symbols=symbols,
+                       Ps=cfg.Ps, P0=cfg.P0)
+
+    def real_denoiser(r, cov):
+        return denoise.bernoulli_mixture_posterior(
+            r, 2.0 * jnp.asarray(cov), symbols=symbols, Ps=cfg.Ps,
+            P0=cfg.P0)
+
+    return real_denoiser
 
 
 def decode(H, y: jnp.ndarray, sigma2, cfg: Config,

@@ -66,9 +66,11 @@ def decode(W: jnp.ndarray, A, y: jnp.ndarray, sigma2,
     Lc, Lr, Mc, Mr = cfg.Lc, cfg.Lr, cfg.Mc, cfg.Mr
     L = cfg.L
     mm = partial(jnp.matmul, precision=precision)
+    # `scamp.py:61-68`; tau/2 is the complex-Gaussian calibration (see
+    # bamp.make_denoiser) — unhalved in the real-valued channel mode.
     denoiser = partial(denoise.segmented_posterior,
                        symbols=jnp.asarray(cfg.symbols), L=cfg.L, M=cfg.M,
-                       halve_tau=True, variance=None)   # `scamp.py:61-68`
+                       halve_tau=cfg.is_complex, variance=None)
 
     W = jnp.asarray(W, jnp.float32)
     Wt = W.T                      # psi @ Wt == W @ psi  per trial

@@ -82,8 +82,11 @@ def segmented_posterior(r: jnp.ndarray, tau, symbols: jnp.ndarray,
     eta_mk = eta.sum(axis=-1)                              # (B, L, M)
     eta2 = eta_mk.sum(axis=2, keepdims=True)               # (B, L, 1)
     xmmse = (symbols * eta).sum(axis=-1) / eta2            # (B, L, M) complex
+    out = xmmse.reshape(B, L * M)
+    out = (out.astype(jnp.complex64) if jnp.iscomplexobj(r)
+           else out.real.astype(jnp.float32))
     if variance is None:
-        return xmmse.reshape(B, L * M).astype(jnp.complex64), None
+        return out, None
     if variance == "decomposed":
         var0 = jnp.abs(xmmse) ** 2 * (1.0 - eta_mk / eta2)
         vars_ = (jnp.abs(xmmse[..., None] - symbols) ** 2 * eta
@@ -94,8 +97,7 @@ def segmented_posterior(r: jnp.ndarray, tau, symbols: jnp.ndarray,
                - jnp.abs(xmmse) ** 2)
     else:
         raise ValueError(f"unknown variance form {variance!r}")
-    return (xmmse.reshape(B, L * M).astype(jnp.complex64),
-            var.reshape(B, L * M).astype(jnp.float32))
+    return out, var.reshape(B, L * M).astype(jnp.float32)
 
 
 def bernoulli_mixture_posterior(r: jnp.ndarray, cov, symbols: jnp.ndarray,
@@ -112,11 +114,13 @@ def bernoulli_mixture_posterior(r: jnp.ndarray, cov, symbols: jnp.ndarray,
     G0 = jnp.exp(-regularize_exp(jnp.abs(r) ** 2 / cov))
     norm = regularize_zero(P0 * G0 + Ps * Gs.sum(axis=-1))
     mean = Ps * (symbols * Gs).sum(axis=-1) / norm
+    mean = (mean.astype(jnp.complex64) if jnp.iscomplexobj(r)
+            else mean.real.astype(jnp.float32))
     if not with_variance:
-        return mean.astype(jnp.complex64), None
+        return mean, None
     second = Ps * (jnp.abs(symbols) ** 2 * Gs).sum(axis=-1) / norm
     var = second - jnp.abs(mean) ** 2
-    return mean.astype(jnp.complex64), var.astype(jnp.float32)
+    return mean, var.astype(jnp.float32)
 
 
 def shrink_with_derivative(r: jnp.ndarray, cov, symbols: jnp.ndarray,

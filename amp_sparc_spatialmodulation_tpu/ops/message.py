@@ -62,6 +62,8 @@ def _segmented(key, cfg: Config, batch: int) -> Message:
     gray_tab = jnp.asarray(cfg.gray)            # (K,) int32
     onehot = jax.nn.one_hot(ant, M, dtype=jnp.float32)       # (B, L, M)
     vals = symbols[sym]                                       # (B, L)
+    if not cfg.is_complex:
+        vals = vals.real                        # real-channel mode
     x = (onehot.astype(vals.dtype) * vals[..., None]).reshape(B, L * M)
     gray = gray_tab[sym]                                      # (B, L)
     base = (jnp.arange(B, dtype=jnp.int32)[:, None] * L
@@ -84,6 +86,8 @@ def _random(key, cfg: Config, batch: int) -> Message:
     mask = jnp.zeros((B, Lin, Nt), dtype=jnp.float32)
     mask = jax.vmap(jax.vmap(lambda m, i: m.at[i].set(1.0)))(mask, ant)
     vals = symbols[sym]                                       # (B, Lin)
+    if not cfg.is_complex:
+        vals = vals.real
     x = (mask.astype(vals.dtype) * vals[..., None]).reshape(B, Lin * Nt)
     gray = jnp.broadcast_to(gray_tab[sym][..., None], ant.shape)
     base = (jnp.arange(B, dtype=jnp.int32)[:, None] * Lin

@@ -43,7 +43,8 @@ def test_fused_requires_banded():
 def test_tile_picker():
     from amp_sparc_spatialmodulation_tpu.ops.pallas.fused_bamp import (
         _pick_tile)
-    # flagship geometry: decent tile
+    # flagship geometry: decent tile (double-buffer-aware budget)
     assert _pick_tile(2048, 2560, 528, 3, 24, 128) >= 64
-    # massive geometry: small but nonzero tile
-    assert _pick_tile(128, 43008, 2701, 6, 73, 1344) >= 8
+    # massive geometry: the x-side working set alone exceeds VMEM — the
+    # lane-major kernel doesn't apply (banded XLA path covers it)
+    assert _pick_tile(128, 43008, 2701, 6, 73, 1344) == 0
