@@ -177,6 +177,8 @@ def _call(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
            pl.BlockSpec(memory_space=pltpu.SMEM)],     # gains^2
         out_specs=[xspec(), xspec(), xspec(), yspec(), yspec(), yspec()],
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=14 * 1024 * 1024),
         interpret=interpret,
     )(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
       S_re, S_im, S_a2, g, g2)

@@ -35,13 +35,13 @@ SWEEPS = [
               10.0: (0.0, 0.0, 6.1)}),
     dict(name="BAMPfinal QPSK Nt=128", cfg=flagship_bamp_qpsk(),
          algo="bamp", algo_dir="BAMPfinal",
-         points=[5.0, 7.0, 8.0, 9.0, 10.0], epochs=8192, res=256,
+         points=[5.0, 7.0, 8.0, 9.0, 10.0], epochs=8192, res=512,
          ref={5.0: (1.0, 0.151, 100), 7.0: (0.56, 1.34e-3, 67.0),
               8.0: (0.08, 1.3e-4, 29.2), 9.0: (0.02, 2.5e-5, 16.9),
               10.0: (0.0, 0.0, 10.5)}),
     dict(name="VAMP OOK Nt=128", cfg=flagship_bamp_ook().replace(
             iterations=10), algo="vamp", algo_dir="VAMP",
-         points=[5.0, 7.0, 8.0, 9.0, 10.0], epochs=8192, res=128,
+         points=[5.0, 7.0, 8.0, 9.0, 10.0], epochs=8192, res=512,
          ref={5.0: (0.890, 1.38e-2, 10), 7.0: (0.154, 1.02e-3, 10),
               8.0: (3.54e-2, 2.3e-4, 9.97), 9.0: (6.3e-3, 6.4e-5, 7.5),
               10.0: (1.1e-3, 7.2e-6, 5.2)}),
