@@ -182,19 +182,25 @@ def evaluate_sums(xmap: jnp.ndarray, xmmse: jnp.ndarray, msg: Message,
     }
 
 
-def accumulate(total: Dict[str, float] | None,
-               batch: Dict[str, jnp.ndarray]) -> Dict[str, float]:
-    """Host-side running sum of :func:`evaluate_sums` outputs
-    (the distributed analog of ``Loss.accumulate``, `loss.py:325-336`)."""
-    vals = {k: float(v) for k, v in batch.items()}
+def accumulate(total: Dict[str, jnp.ndarray] | None,
+               batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Running sum of :func:`evaluate_sums` outputs (the analog of
+    ``Loss.accumulate``, `loss.py:325-336`).
+
+    Sums stay on device — no host sync per batch; :func:`finalize` (or the
+    caller) pulls one scalar pytree at the end of the SNR point.
+    """
     if total is None:
-        return vals
-    return {k: total[k] + vals[k] for k in vals}
+        return dict(batch)
+    return {k: total[k] + batch[k] for k in batch}
 
 
-def finalize(sums: Dict[str, float], cfg: Config) -> Dict[str, float]:
+def finalize(sums: Dict[str, jnp.ndarray | float],
+             cfg: Config) -> Dict[str, float]:
     """Convert accumulated sums to the reference's per-trial averages
-    (``Loss.average`` + ``error_rate`` normalizations)."""
+    (``Loss.average`` + ``error_rate`` normalizations).  This is the one
+    device->host sync point per SNR point."""
+    sums = {k: float(v) for k, v in sums.items()}
     n = sums["trials"]                       # total frames simulated
     lin, na = cfg.Lin, cfg.Na
     sbits, ibits = cfg.symbol_bits, cfg.index_bits
