@@ -94,6 +94,18 @@ def main(argv=None) -> int:
 
     sub.add_parser("bench", help="run the benchmark")
 
+    sparc = sub.add_parser("sparc-trial",
+                           help="single-trial SPARC experiment with "
+                                "optional power allocation (sparc.py twin)")
+    _add_config_args(sparc)
+    sparc.add_argument("--ebn0", type=float, required=True)
+    sparc.add_argument("--sparc-algo", default="scamp",
+                       choices=["scamp", "bamp"])
+    sparc.add_argument("--power-allocation", action="store_true",
+                       help="exponentially-decaying power allocation")
+    sparc.add_argument("--estimate-phi", action="store_true")
+    sparc.add_argument("--seed", type=int, default=0)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "bench":
@@ -103,6 +115,25 @@ def main(argv=None) -> int:
         return 0
 
     cfg = _build_config(args)
+
+    if args.cmd == "sparc-trial":
+        import numpy as np
+
+        from .models import sparc_tools as st
+
+        pa = None
+        if args.power_allocation:
+            rate = st.segmented_sparc_rate_nats(cfg.Nt, cfg.Na, cfg.Nr,
+                                                cfg.Lin, cfg.Lh, cfg.K)
+            snr = 10 ** ((args.ebn0 + 10 * np.log10(rate)) / 10)
+            pa = st.exp_power_allocation(snr, cfg.Lin)
+        res = st.run_single_trial(cfg, args.ebn0, algo=args.sparc_algo,
+                                  power_allocation=pa,
+                                  estimate_phi=args.estimate_phi,
+                                  seed=args.seed)
+        print({"ser": res.ser, "fer": res.fer, "nmse": round(res.nmse, 6),
+               "C": round(res.C, 3), "rate_nats": round(res.rate, 4)})
+        return 0
 
     if args.cmd == "plot":
         from .utils.plotting import Plotter

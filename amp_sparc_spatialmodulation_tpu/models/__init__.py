@@ -1,1 +1,2 @@
-from . import bamp, montecarlo, scamp, vamp, vamp2  # noqa: F401
+from . import (bamp, capacity, montecarlo, scamp, sparc_tools,  # noqa: F401
+               vamp, vamp2)

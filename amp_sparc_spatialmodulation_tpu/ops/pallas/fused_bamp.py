@@ -143,7 +143,6 @@ def _pick_tile(B: int, N: int, n: int, Lh: int, Nr: int, Nt: int) -> int:
     return 0
 
 
-@functools.partial(jax.jit, static_argnames=("geom", "interpret"))
 def _call(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
           S_re, S_im, S_a2, g, g2, geom, interpret):
     Lin, Lout, Lh, Nt, Nr, tile, trunc = geom
