@@ -57,7 +57,7 @@ def _watchdog(seconds: int):
 
 
 def main():
-    timer = _watchdog(int(os.environ.get("BENCH_TIMEOUT", "480")))
+    timer = _watchdog(int(os.environ.get("BENCH_TIMEOUT", "560")))
     import jax
     import jax.numpy as jnp
     import numpy as np
