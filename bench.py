@@ -66,7 +66,7 @@ def main():
     from amp_sparc_spatialmodulation_tpu.models import montecarlo
 
     cfg = flagship_bamp_ook()
-    res = int(os.environ.get("BENCH_RES", "2048"))      # trials per batch
+    res = int(os.environ.get("BENCH_RES", "16384"))     # trials per batch
     n_batches = int(os.environ.get("BENCH_BATCHES", "8"))
     ebn0 = 8.0
     snr = 10 ** ((ebn0 + 10 * np.log10(cfg.code_rate)) / 10)
@@ -74,7 +74,7 @@ def main():
 
     log(f"platform={jax.default_backend()} devices={jax.devices()}")
     form = os.environ.get("BENCH_OPERATOR", "banded")
-    two_phase = int(os.environ.get("BENCH_TWO_PHASE", "24"))
+    two_phase = int(os.environ.get("BENCH_TWO_PHASE", "16"))
     if two_phase > 0:
         fns = montecarlo.make_two_phase_fns(cfg, "sparc", res, two_phase,
                                             operator_form=form)
