@@ -26,3 +26,19 @@ def test_two_phase_rejected_for_other_algos(tmp_path):
                  alphabet="OOK", trunc="tail")
     with pytest.raises(ValueError):
         Simulator(cfg, algo="vamp", out_root=str(tmp_path), two_phase=8)
+
+
+def test_chans_per_batch_matches_single(tmp_path):
+    """Vmapping C realizations per call must not change the statistics."""
+    from amp_sparc_spatialmodulation_tpu.config import Config
+    cfg = Config(Nt=16, Na=4, Nr=10, Lin=6, Lh=3, mode="segmented",
+                 alphabet="OOK", profile="uniform", trunc="tail",
+                 iterations=30)
+    s1 = Simulator(cfg, algo="bamp", out_root=str(tmp_path / "a"),
+                   chans_per_batch=1)
+    s2 = Simulator(cfg, algo="bamp", out_root=str(tmp_path / "b"),
+                   chans_per_batch=4)
+    a1 = s1.run_point(8.0, epochs=256, res=64)
+    a2 = s2.run_point(8.0, epochs=256, res=64)
+    for k, v in a1.items():
+        assert a2[k] == pytest.approx(v, rel=1e-5, abs=1e-9), k
