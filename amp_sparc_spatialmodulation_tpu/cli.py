@@ -108,6 +108,10 @@ def main(argv=None) -> int:
 
     args = parser.parse_args(argv)
 
+    from .utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if args.cmd == "bench":
         from . import cli  # noqa: F401  (keep import style uniform)
         import bench

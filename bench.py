@@ -62,6 +62,11 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from amp_sparc_spatialmodulation_tpu.utils.cache import (
+        enable_persistent_cache)
+
+    enable_persistent_cache()
+
     from amp_sparc_spatialmodulation_tpu.config import flagship_bamp_ook
     from amp_sparc_spatialmodulation_tpu.models import montecarlo
 

@@ -16,6 +16,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from amp_sparc_spatialmodulation_tpu.utils.cache import (  # noqa: E402
+    enable_persistent_cache)
+
+enable_persistent_cache()
+
 from amp_sparc_spatialmodulation_tpu.config import (  # noqa: E402
     Config, flagship_bamp_ook, flagship_bamp_qpsk, flagship_scamp,
     massive_mimo)
