@@ -69,6 +69,7 @@ def main():
 
     from amp_sparc_spatialmodulation_tpu.config import flagship_bamp_ook
     from amp_sparc_spatialmodulation_tpu.models import montecarlo
+    from amp_sparc_spatialmodulation_tpu.utils.metrics import fetch_sums
 
     cfg = flagship_bamp_ook()
     res = int(os.environ.get("BENCH_RES", "16384"))     # trials per batch
@@ -107,8 +108,7 @@ def main():
         t0 = time.perf_counter()
         total_T, total_trials, fer_sum = 0.0, 0, 0.0
         for i in range(n_batches):
-            out = step(jax.random.fold_in(base, i), snr_dev)
-            out = {k: float(v) for k, v in out.items()}
+            out = fetch_sums(step(jax.random.fold_in(base, i), snr_dev))
             total_T += out["T"]
             total_trials += int(out["trials"])
             fer_sum += out["fer"]
