@@ -12,26 +12,23 @@ single pass per trial tile, entirely in VMEM:
     cov   = 1 / (|H|^2^T @ (1/u'))       (banded adjoint, MXU)
     xmap  = xmmse + cov * (H^H @ ((y - z') / u'))
 
-Mosaic-native layout: the TRIAL BATCH is the lane (last) dimension.
-State crosses the kernel as split re/im float32 planes shaped
-``(Lin, Nt, B)`` / ``(Lout, Nr, B)`` (complex is unsupported in Mosaic),
-and every in-kernel op is strictly 2-D — per-channel-use-block matmuls
-``(Lh*Nr, Nt) @ (Nt, B_tile)`` over a static ``Lin`` loop, plus 2-D
-slices/concats for the band shift-accumulate.  No reshapes that split the
-lane dimension (Mosaic's ``infer-vector-layout`` rejects those).
+Mosaic-native layout: blocks are ``(block_count, B_tile, features)`` —
+the TRIAL TILE is the sublane (second-to-last) dimension (divisible by 8)
+and the feature dimension (``Nt`` / ``Nr``) is the lane dimension.  State
+crosses the kernel as split re/im float32 planes shaped ``(Lin, B, Nt)``
+/ ``(Lout, B, Nr)`` (complex is unsupported in Mosaic), and every
+in-kernel op is strictly 2-D — per-channel-use-block matmuls
+``(B_tile, Nt) @ (Nt, Lh*Nr)`` over a static ``Lin`` loop, plus 2-D
+column slices for the band shift-accumulate.
 
 Grid: 1-D over trial tiles.  The denoiser stays outside (XLA fuses its
 elementwise chain well and it differs per algorithm/alphabet).
 
-Backend status (round 1): the kernel is numerically exact vs the XLA path
-(interpret mode on CPU; all three truncation geometries) and compiles and
-runs STANDALONE on a real v5e through the axon remote-compile tunnel.
-Wrapping it in ``lax.while_loop``/``fori_loop`` currently dies in the
-remote AOT compile helper with an opaque ``UNIMPLEMENTED`` (minimal Pallas
-kernels inside the same loops work, so it is a size/structure interaction
-in the tunnel's chipless TpuAotCompiler, not a fundamental one).  The XLA
-banded path therefore remains the production default (``use_pallas=False``)
-until the in-loop compile is resolved on a directly-attached TPU.
+Backend status: numerically exact vs the XLA path (interpret mode on CPU;
+all three truncation geometries).  On the axon remote-compile tunnel the
+in-``while_loop`` AOT compile has historically been flaky; the XLA banded
+path stays the production default (``use_pallas=False``) unless the
+benchmark shows this kernel winning on directly-attached hardware.
 """
 from __future__ import annotations
 
@@ -54,13 +51,15 @@ def _row_of(c, l, Lin, Lout, trunc):
 
 def _iteration_kernel(sigma2_ref, xm_re_ref, xm_im_ref, var_ref,
                       z_re_ref, z_im_ref, u_ref, y_re_ref, y_im_ref,
-                      S_re_ref, S_im_ref, S_a2_ref, g_ref, g2_ref,
+                      S_re_ref, S_im_ref, S_a2_ref,
+                      St_re_ref, St_im_ref, St_a2_ref, g_ref, g2_ref,
                       xmap_re_ref, xmap_im_ref, cov_ref,
                       zn_re_ref, zn_im_ref, un_ref,
                       *, Lin, Lout, Lh, Nt, Nr, trunc):
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
     sigma2 = sigma2_ref[0]
     S_re, S_im, S_a2 = S_re_ref[:], S_im_ref[:], S_a2_ref[:]  # (Nt, Lh*Nr)
+    St_re, St_im, St_a2 = St_re_ref[:], St_im_ref[:], St_a2_ref[:]
 
     # ---- forward banded maps, one channel-use block at a time ----------
     # v[r] = sum_l g2[l, r-l] |h_l|^2 var[r-l] ;  Hx likewise with h.
@@ -71,21 +70,20 @@ def _iteration_kernel(sigma2_ref, xm_re_ref, xm_im_ref, var_ref,
         un_ref[r] = jnp.zeros_like(un_ref[r])
 
     for c in range(Lin):
-        xc_re = xm_re_ref[c]                     # (Nt, B)
+        xc_re = xm_re_ref[c]                     # (Bt, Nt)
         xc_im = xm_im_ref[c]
         vc = var_ref[c]
-        # (Nt, B).T-free matmuls: S.T is (Lh*Nr, Nt)
-        Pv = dot(S_a2.T, vc)                     # (Lh*Nr, B)
-        Pr = dot(S_re.T, xc_re) - dot(S_im.T, xc_im)
-        Pi = dot(S_im.T, xc_re) + dot(S_re.T, xc_im)
+        Pv = dot(vc, S_a2)                       # (Bt, Lh*Nr)
+        Pr = dot(xc_re, S_re) - dot(xc_im, S_im)
+        Pi = dot(xc_im, S_re) + dot(xc_re, S_im)
         for l in range(Lh):
             r = _row_of(c, l, Lin, Lout, trunc)
             if r is None:
                 continue
             sl = slice(l * Nr, (l + 1) * Nr)
-            un_ref[r] += g2_ref[l, c] * Pv[sl]
-            zn_re_ref[r] += g_ref[l, c] * Pr[sl]
-            zn_im_ref[r] += g_ref[l, c] * Pi[sl]
+            un_ref[r] += g2_ref[l, c] * Pv[:, sl]
+            zn_re_ref[r] += g_ref[l, c] * Pr[:, sl]
+            zn_im_ref[r] += g_ref[l, c] * Pi[:, sl]
 
     # ---- Onsager residual + variances (`bamp.py:60-61`) ----------------
     # At this point un_ref holds v, zn_ref holds Hx.
@@ -112,31 +110,34 @@ def _iteration_kernel(sigma2_ref, xm_re_ref, xm_im_ref, var_ref,
             zs_c.append(g2_ref[l, c] * uinv)
             zs_re.append(g_ref[l, c] * rr)
             zs_im.append(g_ref[l, c] * ri)
-        Zc = jnp.concatenate(zs_c, axis=0)       # (Lh*Nr, B)
-        Zr = jnp.concatenate(zs_re, axis=0)
-        Zi = jnp.concatenate(zs_im, axis=0)
-        cov_c = 1.0 / dot(S_a2, Zc)              # (Nt, B)
-        # H^H r: re = S_re Zr + S_im Zi ; im = S_re Zi - S_im Zr
-        adj_re = dot(S_re, Zr) + dot(S_im, Zi)
-        adj_im = dot(S_re, Zi) - dot(S_im, Zr)
+        Zc = jnp.concatenate(zs_c, axis=1)       # (Bt, Lh*Nr)
+        Zr = jnp.concatenate(zs_re, axis=1)
+        Zi = jnp.concatenate(zs_im, axis=1)
+        cov_c = 1.0 / dot(Zc, St_a2)             # (Bt, Nt)
+        # H^H r: re = Zr S_re^T + Zi S_im^T ; im = Zi S_re^T - Zr S_im^T
+        adj_re = dot(Zr, St_re) + dot(Zi, St_im)
+        adj_im = dot(Zi, St_re) - dot(Zr, St_im)
         cov_ref[c] = cov_c
         xmap_re_ref[c] = xm_re_ref[c] + cov_c * adj_re
         xmap_im_ref[c] = xm_im_ref[c] + cov_c * adj_im
 
 
 def _pick_tile(B: int, N: int, n: int, Lh: int, Nr: int, Nt: int) -> int:
-    """Largest trial tile (lane dim) whose working set fits VMEM.
+    """Largest trial tile (sublane dim, multiple of 8) whose working set
+    fits VMEM.
 
     When the grid has more than one program, Pallas double-buffers the
     grid-dependent blocks (pipelined prefetch), so the budget must cover
     TWO copies of every blocked operand.
     """
     budget = 11 * 1024 * 1024
+    lane = lambda d: -(-d // 128) * 128       # Mosaic pads lanes to 128
+    Lin, Lout = N // Nt, n // Nr
     for tile in (512, 256, 128, 64, 32, 16, 8):
         if B % tile != 0:
             continue
-        xside = 6 * tile * N * 4
-        yside = 9 * tile * n * 4
+        xside = 6 * tile * Lin * lane(Nt) * 4
+        yside = 9 * tile * Lout * lane(Nr) * 4
         mult = 1 if tile == B else 2          # double-buffered when grid > 1
         if mult * (xside + yside) < budget:
             return tile
@@ -146,32 +147,32 @@ def _pick_tile(B: int, N: int, n: int, Lh: int, Nr: int, Nt: int) -> int:
 def _call(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
           S_re, S_im, S_a2, g, g2, geom, interpret):
     Lin, Lout, Lh, Nt, Nr, tile, trunc = geom
-    B = xm_re.shape[-1]
+    B = xm_re.shape[1]
     grid = (B // tile,)
 
     def xspec():
-        return pl.BlockSpec((Lin, Nt, tile), lambda i: (0, 0, i),
+        return pl.BlockSpec((Lin, tile, Nt), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
     def yspec():
-        return pl.BlockSpec((Lout, Nr, tile), lambda i: (0, 0, i),
+        return pl.BlockSpec((Lout, tile, Nr), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     kern = functools.partial(_iteration_kernel, Lin=Lin, Lout=Lout, Lh=Lh,
                              Nt=Nt, Nr=Nr, trunc=trunc)
-    out_shape = [jax.ShapeDtypeStruct((Lin, Nt, B), jnp.float32),  # xmap re
-                 jax.ShapeDtypeStruct((Lin, Nt, B), jnp.float32),  # xmap im
-                 jax.ShapeDtypeStruct((Lin, Nt, B), jnp.float32),  # cov
-                 jax.ShapeDtypeStruct((Lout, Nr, B), jnp.float32),  # z re
-                 jax.ShapeDtypeStruct((Lout, Nr, B), jnp.float32),  # z im
-                 jax.ShapeDtypeStruct((Lout, Nr, B), jnp.float32)]  # u
+    out_shape = [jax.ShapeDtypeStruct((Lin, B, Nt), jnp.float32),  # xmap re
+                 jax.ShapeDtypeStruct((Lin, B, Nt), jnp.float32),  # xmap im
+                 jax.ShapeDtypeStruct((Lin, B, Nt), jnp.float32),  # cov
+                 jax.ShapeDtypeStruct((Lout, B, Nr), jnp.float32),  # z re
+                 jax.ShapeDtypeStruct((Lout, B, Nr), jnp.float32),  # z im
+                 jax.ShapeDtypeStruct((Lout, B, Nr), jnp.float32)]  # u
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]      # sigma2 (1,)
         + [xspec(), xspec(), xspec(), yspec(), yspec(), yspec(),
-           yspec(), yspec(), full(), full(), full(),
+           yspec(), yspec(), full(), full(), full(), full(), full(), full(),
            pl.BlockSpec(memory_space=pltpu.SMEM),      # gains
            pl.BlockSpec(memory_space=pltpu.SMEM)],     # gains^2
         out_specs=[xspec(), xspec(), xspec(), yspec(), yspec(), yspec()],
@@ -180,16 +181,17 @@ def _call(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
             vmem_limit_bytes=14 * 1024 * 1024),
         interpret=interpret,
     )(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
-      S_re, S_im, S_a2, g, g2)
+      S_re, S_im, S_a2, S_re.T, S_im.T, S_a2.T, g, g2)
 
 
 class FusedBandedIteration:
     """Callable wrapping the fused kernel for a fixed banded operator.
 
     Built from an :class:`..operators.BandedOperator`; ``__call__`` maps
-    (B, ·)-major complex jnp state to the kernel's lane-major split planes,
-    runs the kernel, and returns ``(xmap, cov, z_new, u_new)`` in the
-    decoder's layout — a drop-in for the linear part of the BAMP iteration.
+    (B, ·)-major complex jnp state to the kernel's block-major split
+    planes, runs the kernel, and returns ``(xmap, cov, z_new, u_new)`` in
+    the decoder's layout — a drop-in for the linear part of the BAMP
+    iteration.
     """
 
     def __init__(self, op, batch: int, interpret: bool = False):
@@ -207,19 +209,19 @@ class FusedBandedIteration:
         self.g2 = op.gains2
 
     def _to_x(self, a):
-        """(B, Lin*Nt) -> (Lin, Nt, B)."""
+        """(B, Lin*Nt) -> (Lin, B, Nt)."""
         B = a.shape[0]
-        return a.reshape(B, self.op.Lin, self.op.Nt).transpose(1, 2, 0)
+        return a.reshape(B, self.op.Lin, self.op.Nt).transpose(1, 0, 2)
 
     def _to_y(self, a):
         B = a.shape[0]
-        return a.reshape(B, self.op.Lout, self.op.Nr).transpose(1, 2, 0)
+        return a.reshape(B, self.op.Lout, self.op.Nr).transpose(1, 0, 2)
 
     def _from_x(self, a):
-        return a.transpose(2, 0, 1).reshape(a.shape[2], -1)
+        return a.transpose(1, 0, 2).reshape(a.shape[1], -1)
 
     def _from_y(self, a):
-        return a.transpose(2, 0, 1).reshape(a.shape[2], -1)
+        return a.transpose(1, 0, 2).reshape(a.shape[1], -1)
 
     def __call__(self, xmmse, var, z, u, y, sigma2):
         sig = jnp.asarray(sigma2, jnp.float32).reshape(1)

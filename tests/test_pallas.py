@@ -43,8 +43,10 @@ def test_fused_requires_banded():
 def test_tile_picker():
     from amp_sparc_spatialmodulation_tpu.ops.pallas.fused_bamp import (
         _pick_tile)
-    # flagship geometry: decent tile (double-buffer-aware budget)
-    assert _pick_tile(2048, 2560, 528, 3, 24, 128) >= 64
+    # flagship geometry: tile 32 is the largest that fits once Mosaic's
+    # 128-lane padding of the Nr=24 y-side planes is accounted for (tile 64
+    # was measured to OOM scoped VMEM on a real v5e: 18.5M vs the 14M cap)
+    assert _pick_tile(2048, 2560, 528, 3, 24, 128) == 32
     # massive geometry: the x-side working set alone exceeds VMEM — the
     # lane-major kernel doesn't apply (banded XLA path covers it)
     assert _pick_tile(128, 43008, 2701, 6, 73, 1344) == 0
