@@ -72,8 +72,8 @@ def main():
     from amp_sparc_spatialmodulation_tpu.utils.metrics import fetch_sums
 
     cfg = flagship_bamp_ook()
-    res = int(os.environ.get("BENCH_RES", "16384"))     # trials per batch
-    n_batches = int(os.environ.get("BENCH_BATCHES", "8"))
+    res = int(os.environ.get("BENCH_RES", "8192"))      # trials per batch
+    n_batches = int(os.environ.get("BENCH_BATCHES", "16"))
     ebn0 = 8.0
     snr = 10 ** ((ebn0 + 10 * np.log10(cfg.code_rate)) / 10)
     snr_dev = jnp.asarray(snr, jnp.float32)
