@@ -165,3 +165,50 @@ def test_map_decision_picks_joint_argmax():
             row = np.asarray(dec.xhat[b]).reshape(cfg.L, cfg.M)[j]
             assert row[m] == pytest.approx(symbols[k], abs=1e-6)
             assert np.count_nonzero(row) == 1
+
+
+def test_fetch_sums_single_transfer_equals_per_scalar():
+    """fetch_sums (one stacked device->host transfer — the remote-TPU
+    tunnel costs ~25 ms per round-trip, so per-scalar fetching was ~35% of
+    bench wall time) must return exactly the same values as per-scalar
+    float() conversion, for device pytrees, plain floats, and mixes."""
+    import jax.numpy as jnp
+
+    from amp_sparc_spatialmodulation_tpu.utils import metrics
+
+    dev = {k: jnp.asarray(i + 0.5, jnp.float32)
+           for i, k in enumerate(metrics.SUM_KEYS)}
+    assert metrics.fetch_sums(dev) == {k: float(v) for k, v in dev.items()}
+    # extra keys beyond SUM_KEYS survive, plain floats pass through
+    dev["extra"] = jnp.asarray(7.0, jnp.float32)
+    out = metrics.fetch_sums(dev)
+    assert out["extra"] == 7.0 and len(out) == len(metrics.SUM_KEYS) + 1
+    host = {k: float(i) for i, k in enumerate(metrics.SUM_KEYS)}
+    assert metrics.fetch_sums(host) == host
+
+
+def test_finalize_accepts_device_sums():
+    """finalize must fetch device sums itself (one transfer) and agree with
+    finalize on host floats."""
+    import jax
+    import jax.numpy as jnp
+
+    from amp_sparc_spatialmodulation_tpu.config import Config
+    from amp_sparc_spatialmodulation_tpu.models import bamp
+    from amp_sparc_spatialmodulation_tpu.ops import channel, message
+    from amp_sparc_spatialmodulation_tpu.utils import metrics
+
+    cfg = Config(Nt=8, Na=2, Nr=6, Lin=4, Lh=2, mode="segmented",
+                 iterations=20, alphabet="OOK", profile="uniform",
+                 trunc="tail")
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    _, A = channel.generate_as_sparc(k1, cfg)
+    msg = message.generate_message(k2, cfg, 4)
+    snr = 10 ** (12.0 / 10)
+    y = msg.x @ A.T + channel.awgn(k3, cfg, snr, 4)
+    res = bamp.decode(A, y, cfg.E / snr, cfg)
+    sums = metrics.evaluate_sums(res.xmap, res.xmmse, msg, res.T, cfg)
+    a = metrics.finalize(sums, cfg)
+    b = metrics.finalize({k: float(v) for k, v in sums.items()}, cfg)
+    assert a == b
