@@ -11,4 +11,4 @@ over TPU meshes.
 from . import config as _config
 from .config import Config  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

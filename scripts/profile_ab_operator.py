@@ -2,10 +2,8 @@
 from __future__ import annotations
 
 import os
-import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from amp_sparc_spatialmodulation_tpu.utils.cache import (  # noqa: E402
     enable_persistent_cache)
