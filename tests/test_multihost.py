@@ -27,6 +27,9 @@ def test_two_process_distributed_sweep():
     env_base = {**os.environ,
                 "MH_COORD": f"localhost:{port}", "MH_NPROC": "2"}
     env_base.pop("XLA_FLAGS", None)
+    # The worker must import the package even from a clean, uninstalled
+    # checkout (the normal path is `pip install -e .`).
+    env_base["PYTHONPATH"] = REPO + os.pathsep + env_base.get("PYTHONPATH", "")
     procs = []
     for pid in range(2):
         env = {**env_base, "MH_PID": str(pid)}
