@@ -22,8 +22,9 @@ from ..config import Config
 from ..models import bamp, montecarlo
 from ..ops import channel as channel_ops
 from ..ops import message as message_ops
+from ..ops import operators
 from ..utils import metrics
-from . import tensor
+from . import banded, tensor
 from .mesh import MODEL_AXIS, TRIALS_AXIS
 
 
@@ -60,7 +61,15 @@ def make_sharded_step(cfg: Config, algo: str, channel_kind: str, res: int,
                                 out_specs=P(), check_vma=False)
         return jax.jit(sharded)
 
-    # --- trials x model: tensor-parallel BAMP realization -----------------
+    # --- trials x model: model-parallel BAMP realization -------------------
+    # Banded halo-exchange sequence parallelism whenever the channel has a
+    # band structure (O(B*(Lh-1)*Nr) ppermutes per iteration, taps only);
+    # dense column-TP with full psums remains for i.i.d. channels.
+
+    if operator_form == "auto":
+        operator_form = "banded" if channel_kind != "iid" else "dense"
+    if operator_form == "banded" and channel_kind == "iid":
+        raise ValueError("iid channels have no banded form")
 
     def tp_realization(key, snr):
         k_chan, k_msg, k_noise = jax.random.split(key, 3)
@@ -69,21 +78,42 @@ def make_sharded_step(cfg: Config, algo: str, channel_kind: str, res: int,
         # so every shard derives the same realization and slices its own
         # columns.
         msg = message_ops.generate_message(k_msg, cfg, res)
-        if channel_kind == "sparc":
-            _, A = channel_ops.generate_as_sparc(k_chan, cfg)
-        elif channel_kind == "toeplitz":
-            A = channel_ops.generate_channel(k_chan, cfg)
+        noise = channel_ops.awgn(k_noise, cfg, snr, res)
+        if operator_form == "banded":
+            if channel_kind == "sparc":
+                W = channel_ops.base_matrix(cfg)
+                h = channel_ops.sample_sparc_taps(k_chan, cfg)
+                gains = jnp.asarray(operators.sparc_gains(cfg, W))
+            else:
+                h = channel_ops.sample_taps(k_chan, cfg)
+                gains = jnp.ones((cfg.Lh, cfg.Lin), jnp.float32)
+            x_k = banded.shard_columns(msg.x, cfg)    # (B, N/tp)
+            op = banded.HaloBandedOperator(h, gains, cfg,
+                                           precision=precision)
+            hx, _ = op.apply_and_abs2(
+                x_k, jnp.zeros(x_k.shape, jnp.float32))
+            y_local = hx + banded.shard_rows(noise, cfg)
+            xmap_k, xmmse_k, _, T = banded.decode(
+                h, gains, y_local, sigma2, cfg,
+                sync_axes=(TRIALS_AXIS, MODEL_AXIS), precision=precision)
+            xmap = banded.gather_columns(xmap_k)
+            xmmse = banded.gather_columns(xmmse_k)
         else:
-            A = channel_ops.generate_as_random(k_chan, cfg)
-        A_k = tensor.shard_columns(A, cfg)            # (n, N/tp)
-        x_k = tensor.shard_columns(msg.x, cfg)        # (B, N/tp)
-        y = (lax.psum(jnp.matmul(x_k, A_k.T, precision=precision),
-                      MODEL_AXIS)
-             + channel_ops.awgn(k_noise, cfg, snr, res))
-        xmap_k, xmmse_k, _, T = tensor.decode(A_k, y, sigma2, cfg,
-                                              precision=precision)
-        xmap = tensor.gather_columns(xmap_k)
-        xmmse = tensor.gather_columns(xmmse_k)
+            if channel_kind == "sparc":
+                _, A = channel_ops.generate_as_sparc(k_chan, cfg)
+            elif channel_kind == "toeplitz":
+                A = channel_ops.generate_channel(k_chan, cfg)
+            else:
+                A = channel_ops.generate_as_random(k_chan, cfg)
+            A_k = tensor.shard_columns(A, cfg)        # (n, N/tp)
+            x_k = tensor.shard_columns(msg.x, cfg)    # (B, N/tp)
+            y = (lax.psum(jnp.matmul(x_k, A_k.T, precision=precision),
+                          MODEL_AXIS) + noise)
+            xmap_k, xmmse_k, _, T = tensor.decode(
+                A_k, y, sigma2, cfg,
+                sync_axes=(TRIALS_AXIS, MODEL_AXIS), precision=precision)
+            xmap = tensor.gather_columns(xmap_k)
+            xmmse = tensor.gather_columns(xmmse_k)
         return metrics.evaluate_sums(xmap, xmmse, msg, T, cfg)
 
     def device_fn(keys, snr):
@@ -109,6 +139,11 @@ class ShardedSimulator(montecarlo.Simulator):
 
     def __init__(self, cfg: Config, mesh: Optional[Mesh] = None, **kw):
         from .mesh import make_mesh
+        if kw.get("two_phase") is not None:
+            raise NotImplementedError(
+                "two_phase continuation batching needs host-side bucket "
+                "compaction and is not available under ShardedSimulator; "
+                "use the single-device Simulator or two_phase=None")
         self.mesh = mesh if mesh is not None else make_mesh()
         super().__init__(cfg, **kw)
 

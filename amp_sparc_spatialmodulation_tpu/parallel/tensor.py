@@ -42,6 +42,7 @@ class TPState(NamedTuple):
     z: jnp.ndarray       # (B, n) replicated
     u: jnp.ndarray       # (B, n) replicated
     active: jnp.ndarray  # (B,)
+    alive: jnp.ndarray   # () bool — any trial active on ANY synced device
     T: jnp.ndarray       # (B,)
     t: jnp.ndarray
 
@@ -67,26 +68,42 @@ def _freeze(mask, new, old):
 
 
 def make_denoiser_local(cfg: Config, lin_local: int):
+    """Shard-local denoiser; same calibration as ``bamp.make_denoiser``
+    (``tau/2`` only in the complex mode, doubled covariance in real
+    ``random`` mode)."""
     symbols = jnp.asarray(cfg.symbols)
     if cfg.mode in ("segmented", "sparc"):
         return partial(denoise.segmented_posterior, symbols=symbols,
-                       L=cfg.Na * lin_local, M=cfg.M, halve_tau=True,
-                       variance="decomposed")
-    return partial(denoise.bernoulli_mixture_posterior, symbols=symbols,
-                   Ps=cfg.Ps, P0=cfg.P0)
+                       L=cfg.Na * lin_local, M=cfg.M,
+                       halve_tau=cfg.is_complex, variance="decomposed")
+    if cfg.is_complex:
+        return partial(denoise.bernoulli_mixture_posterior, symbols=symbols,
+                       Ps=cfg.Ps, P0=cfg.P0)
+
+    def real_denoiser(r, cov):
+        return denoise.bernoulli_mixture_posterior(
+            r, 2.0 * jnp.asarray(cov), symbols=symbols, Ps=cfg.Ps, P0=cfg.P0)
+
+    return real_denoiser
 
 
 def decode(H_k: jnp.ndarray, y: jnp.ndarray, sigma2, cfg: Config,
-           *, axis_name: str = MODEL_AXIS,
+           *, axis_name: str = MODEL_AXIS, sync_axes=None,
            precision=lax.Precision.HIGHEST):
     """Tensor-parallel BAMP (`bamp.py:48-64` semantics) on a column shard.
 
     Args:
         H_k: (n, N_local) — this shard's columns of the measurement matrix.
         y: (B, n) received vectors, replicated across the model axis.
+        sync_axes: ALL mesh axes whose devices run this program (defaults
+            to ``(axis_name,)``).  The loop body issues psums, so its trip
+            count must be identical on every device mesh-wide; the
+            early-stop flag is psum-reduced over these axes.
 
     Returns ``(xmap_k, xmmse_k, var_k, T)`` with column-sharded estimates.
     """
+    if sync_axes is None:
+        sync_axes = (axis_name,)
     B = y.shape[0]
     n, N_local = H_k.shape
     k = lax.axis_size(axis_name)
@@ -109,12 +126,13 @@ def decode(H_k: jnp.ndarray, y: jnp.ndarray, sigma2, cfg: Config,
         z=y,
         u=jnp.full((B, n), sigma2, jnp.float32),
         active=jnp.ones((B,), bool),
+        alive=jnp.ones((), bool),
         T=jnp.zeros((B,), jnp.int32),
         t=jnp.zeros((), jnp.int32),
     )
 
     def cond(s: TPState):
-        return jnp.logical_and(s.t < cfg.N_Layers, jnp.any(s.active))
+        return jnp.logical_and(s.t < cfg.N_Layers, s.alive)
 
     def body(s: TPState) -> TPState:
         v = psum(mm(s.var, abs2_t))                       # (B, n) all-reduce
@@ -127,13 +145,18 @@ def decode(H_k: jnp.ndarray, y: jnp.ndarray, sigma2, cfg: Config,
         xmmse, var = denoiser(xmap, cov)
         local_ok = _local_allclose(var, s.var)
         converged = psum(local_ok.astype(jnp.int32)) == k  # per-trial
+        active = s.active & ~converged
+        # Uniform trip count mesh-wide: the body's psums must execute in
+        # lockstep on every device of the program.
+        alive = lax.psum(jnp.any(active).astype(jnp.int32), sync_axes) > 0
         return TPState(
             xmap=_freeze(s.active, xmap, s.xmap),
             xmmse=_freeze(s.active, xmmse, s.xmmse),
             var=_freeze(s.active, var, s.var),
             z=_freeze(s.active, z, s.z),
             u=_freeze(s.active, u, s.u),
-            active=s.active & ~converged,
+            active=active,
+            alive=alive,
             T=jnp.where(s.active, s.t + 1, s.T),
             t=s.t + 1,
         )
