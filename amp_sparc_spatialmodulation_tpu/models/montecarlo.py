@@ -115,11 +115,12 @@ def make_realization_fn(cfg: Config, algo: str, channel_kind: str, res: int,
     return one_realization
 
 
-def make_two_phase_fns(cfg: Config, channel_kind: str, res: int, k1: int,
-                       precision=jax.lax.Precision.HIGHEST,
+def make_two_phase_fns(cfg: Config, algo: str, channel_kind: str, res: int,
+                       k1: int, precision=jax.lax.Precision.HIGHEST,
                        operator_form: str = "auto",
+                       estimate_phi: bool = False,
                        use_pallas: bool = False):
-    """Continuation-batched BAMP realization (phase1 / phase2 / evaluate).
+    """Continuation-batched realization (phase1 / phase2 / evaluate).
 
     A batched decode runs until its SLOWEST trial converges — at the
     flagship 8 dB point the batch mean is ~11 iterations but ~2% of trials
@@ -128,46 +129,90 @@ def make_two_phase_fns(cfg: Config, channel_kind: str, res: int, k1: int,
     iterations, gathers the unconverged tail into a small padded bucket,
     and finishes it separately — the decode trajectory is bit-identical
     (resumable ``lax.while_loop`` state), only the batch shape changes.
+    Works for every decoder (their states are all resumable pytrees).
 
-    Returns ``(phase1, phase2_for, evaluate)``:
-      phase1(key, snr) -> (msg, state)
+    Returns ``(phase1, phase2_for, scatter_eval, evaluate)``:
+      phase1(key, snr) -> (msg, y, state)
       phase2_for(bucket)(key, y_sub, state_sub, snr) -> state_sub'
+      scatter_eval(state, sub_state, pad_idx, msg) -> metric sums
       evaluate(state, msg) -> metric sums
     """
     from ..ops import operators
 
     if operator_form == "auto":
-        operator_form = "banded" if channel_kind != "iid" else "dense"
+        operator_form = ("banded" if algo in ("bamp", "scamp")
+                         and channel_kind != "iid" else "dense")
+    if operator_form == "banded":
+        if algo in ("vamp", "vamp2"):
+            raise ValueError("VAMP requires the dense operator (SVD)")
+        if channel_kind == "iid":
+            raise ValueError("iid channels have no banded form")
+    if algo == "scamp" and channel_kind != "sparc":
+        raise ValueError("scamp requires the sparc channel")
+    if use_pallas and algo != "bamp":
+        raise ValueError("the fused Pallas iteration is BAMP-only")
 
-    def build(key, snr):
-        k_chan, k_msg, k_noise = jax.random.split(key, 3)
-        msg = message_ops.generate_message(k_msg, cfg, res)
+    def make_ctx(k_chan):
+        """Rebuild the (deterministic given key) per-realization operator
+        data: (W, A) or the channel SVD."""
         if operator_form == "banded":
             if channel_kind == "sparc":
-                _, A = operators.banded_sparc(k_chan, cfg,
+                W, A = operators.banded_sparc(k_chan, cfg,
                                               precision=precision)
             else:
-                A = operators.banded_toeplitz(k_chan, cfg,
-                                              precision=precision)
-            y = A.apply(msg.x) + channel_ops.awgn(k_noise, cfg, snr, res)
+                W, A = None, operators.banded_toeplitz(k_chan, cfg,
+                                                       precision=precision)
         else:
             if channel_kind == "sparc":
-                _, A = channel_ops.generate_as_sparc(k_chan, cfg)
+                W, A = channel_ops.generate_as_sparc(k_chan, cfg)
             elif channel_kind == "toeplitz":
-                A = channel_ops.generate_channel(k_chan, cfg)
+                W, A = None, channel_ops.generate_channel(k_chan, cfg)
             else:
-                A = channel_ops.generate_as_random(k_chan, cfg)
-            y = (jnp.matmul(msg.x, A.T, precision=precision)
-                 + channel_ops.awgn(k_noise, cfg, snr, res))
-        return msg, A, y
+                W, A = None, channel_ops.generate_as_random(k_chan, cfg)
+        if algo in ("vamp", "vamp2"):
+            return W, vamp.svd(A)
+        return W, A
+
+    def run_decode(ctx, y, sigma2, state0=None, iter_cap=None):
+        W, A = ctx
+        kw = dict(precision=precision, state0=state0, iter_cap=iter_cap,
+                  return_state=True)
+        if algo == "bamp":
+            return bamp.decode(A, y, sigma2, cfg, use_pallas=use_pallas,
+                               **kw)
+        if algo == "scamp":
+            return scamp.decode(W, A, y, sigma2, cfg,
+                                estimate_phi=estimate_phi, **kw)
+        if algo == "vamp":
+            return vamp.decode(A, y, sigma2, cfg, **kw)
+        return vamp2.decode(A, y, sigma2, cfg, **kw)
+
+    def views(state):
+        """(decision statistic, posterior mean) of a decoder state — VAMP
+        variants hand the pseudo-data ``r`` to the decision layer
+        (`vamp.py:187`)."""
+        stat = state.xmap if hasattr(state, "xmap") else state.r
+        return stat, state.xmmse
 
     @jax.jit
     def phase1(key, snr):
-        msg, A, y = build(key, snr)
+        k_chan, k_msg, k_noise = jax.random.split(key, 3)
+        msg = message_ops.generate_message(k_msg, cfg, res)
         sigma2 = cfg.E / snr
-        _, state = bamp.decode(A, y, sigma2, cfg, precision=precision,
-                               use_pallas=use_pallas, iter_cap=k1,
-                               return_state=True)
+        noise = channel_ops.awgn(k_noise, cfg, snr, res)
+        if operator_form == "banded":
+            ctx = make_ctx(k_chan)
+            y = ctx[1].apply(msg.x) + noise
+        else:
+            if channel_kind == "sparc":
+                W, A = channel_ops.generate_as_sparc(k_chan, cfg)
+            elif channel_kind == "toeplitz":
+                W, A = None, channel_ops.generate_channel(k_chan, cfg)
+            else:
+                W, A = None, channel_ops.generate_as_random(k_chan, cfg)
+            y = jnp.matmul(msg.x, A.T, precision=precision) + noise
+            ctx = (W, vamp.svd(A)) if algo in ("vamp", "vamp2") else (W, A)
+        _, state = run_decode(ctx, y, sigma2, iter_cap=k1)
         return msg, y, state
 
     _phase2_cache = {}
@@ -178,24 +223,8 @@ def make_two_phase_fns(cfg: Config, channel_kind: str, res: int, k1: int,
             def phase2(key, y_sub, state_sub, snr):
                 k_chan, _, _ = jax.random.split(key, 3)
                 sigma2 = cfg.E / snr
-                if operator_form == "banded":
-                    if channel_kind == "sparc":
-                        _, A = operators.banded_sparc(k_chan, cfg,
-                                                      precision=precision)
-                    else:
-                        A = operators.banded_toeplitz(k_chan, cfg,
-                                                      precision=precision)
-                else:
-                    if channel_kind == "sparc":
-                        _, A = channel_ops.generate_as_sparc(k_chan, cfg)
-                    elif channel_kind == "toeplitz":
-                        A = channel_ops.generate_channel(k_chan, cfg)
-                    else:
-                        A = channel_ops.generate_as_random(k_chan, cfg)
-                _, s = bamp.decode(A, y_sub, sigma2, cfg,
-                                   precision=precision,
-                                   use_pallas=use_pallas,
-                                   state0=state_sub, return_state=True)
+                ctx = make_ctx(k_chan)
+                _, s = run_decode(ctx, y_sub, sigma2, state0=state_sub)
                 return s
 
             _phase2_cache[bucket] = phase2
@@ -203,16 +232,19 @@ def make_two_phase_fns(cfg: Config, channel_kind: str, res: int, k1: int,
 
     @jax.jit
     def scatter_eval(state, sub_state, pad_idx, msg):
-        upd = lambda full, sub: full.at[pad_idx].set(sub)
-        xmap = upd(state.xmap, sub_state.xmap)
-        xmmse = upd(state.xmmse, sub_state.xmmse)
-        T = upd(state.T, sub_state.T)
-        return metrics.evaluate_sums(xmap, xmmse, msg, T, cfg)
+        def upd(full, sub):
+            if (getattr(full, "ndim", 0) >= 1 and full.shape[0] == res
+                    and sub.shape[:1] == pad_idx.shape):
+                return full.at[pad_idx].set(sub)
+            return full
+        merged = jax.tree_util.tree_map(upd, state, sub_state)
+        stat, xmmse = views(merged)
+        return metrics.evaluate_sums(stat, xmmse, msg, merged.T, cfg)
 
     @jax.jit
     def evaluate(state, msg):
-        return metrics.evaluate_sums(state.xmap, state.xmmse, msg,
-                                     state.T, cfg)
+        stat, xmmse = views(state)
+        return metrics.evaluate_sums(stat, xmmse, msg, state.T, cfg)
 
     return phase1, phase2_for, scatter_eval, evaluate
 
@@ -264,8 +296,6 @@ class Simulator:
                  use_pallas: bool = False,
                  precision=jax.lax.Precision.HIGHEST,
                  progress: Callable[[str], None] = print):
-        if two_phase is not None and algo != "bamp":
-            raise ValueError("two_phase continuation batching is bamp-only")
         if algo not in ("bamp", "vamp", "vamp2", "scamp"):
             raise ValueError(f"unknown algo {algo!r}")
         if algo == "scamp" and channel_kind != "sparc":
@@ -323,9 +353,10 @@ class Simulator:
         if self.two_phase is not None:
             if self._tp_fns is None or self._tp_fns[0] != res:
                 self._tp_fns = (res, make_two_phase_fns(
-                    self.cfg, self.channel_kind, res, self.two_phase,
-                    precision=self.precision,
+                    self.cfg, self.algo, self.channel_kind, res,
+                    self.two_phase, precision=self.precision,
                     operator_form=self.operator_form,
+                    estimate_phi=self.estimate_phi,
                     use_pallas=self.use_pallas))
             fns = self._tp_fns[1]
             for c in range(n_real):

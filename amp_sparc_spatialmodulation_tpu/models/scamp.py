@@ -52,11 +52,18 @@ def _expand(v: jnp.ndarray, reps: int) -> jnp.ndarray:
 
 def decode(W: jnp.ndarray, A, y: jnp.ndarray, sigma2,
            cfg: Config, *, estimate_phi: bool = False,
-           precision=lax.Precision.HIGHEST) -> DecodeResult:
+           state0: SCAMPState | None = None,
+           iter_cap: int | None = None,
+           return_state: bool = False,
+           precision=lax.Precision.HIGHEST):
     """Run SCAMP on a batch of trials sharing one (W, A) realization.
 
     ``A`` may be the dense matrix or a tap-form operator from
     :mod:`..ops.operators`.
+
+    ``state0`` / ``iter_cap`` / ``return_state`` make the decode resumable
+    (identical trajectory when split at any cap — the basis of the sweep
+    engine's continuation batching, as in :func:`.bamp.decode`).
     """
     from ..ops import operators
 
@@ -76,19 +83,21 @@ def decode(W: jnp.ndarray, A, y: jnp.ndarray, sigma2,
     Wt = W.T                      # psi @ Wt == W @ psi  per trial
     sigma2 = jnp.asarray(sigma2, jnp.float32)
 
-    state0 = SCAMPState(
-        xmap=jnp.zeros((B, N), y.dtype),
-        xmmse=jnp.zeros((B, N), y.dtype),
-        psi=jnp.ones((B, Lc), jnp.float32),
-        phi=jnp.full((B, Lr), jnp.inf, jnp.float32),
-        z=y,
-        active=jnp.ones((B,), bool),
-        T=jnp.zeros((B,), jnp.int32),
-        t=jnp.zeros((), jnp.int32),
-    )
+    if state0 is None:
+        state0 = SCAMPState(
+            xmap=jnp.zeros((B, N), y.dtype),
+            xmmse=jnp.zeros((B, N), y.dtype),
+            psi=jnp.ones((B, Lc), jnp.float32),
+            phi=jnp.full((B, Lr), jnp.inf, jnp.float32),
+            z=y,
+            active=jnp.ones((B,), bool),
+            T=jnp.zeros((B,), jnp.int32),
+            t=jnp.zeros((), jnp.int32),
+        )
+    cap = cfg.N_Layers if iter_cap is None else iter_cap
 
     def cond(st: SCAMPState):
-        return jnp.logical_and(st.t < cfg.N_Layers, jnp.any(st.active))
+        return jnp.logical_and(st.t < cap, jnp.any(st.active))
 
     def body(st: SCAMPState) -> SCAMPState:
         gma = mm(st.psi, Wt) / Lc                                # (B, Lr)
@@ -121,5 +130,8 @@ def decode(W: jnp.ndarray, A, y: jnp.ndarray, sigma2,
         )
 
     st = lax.while_loop(cond, body, state0)
-    return DecodeResult(xmap=st.xmap, xmmse=st.xmmse,
-                        var=1.0 - st.psi, T=st.T)
+    result = DecodeResult(xmap=st.xmap, xmmse=st.xmmse,
+                          var=1.0 - st.psi, T=st.T)
+    if return_state:
+        return result, st
+    return result

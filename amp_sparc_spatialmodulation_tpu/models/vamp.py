@@ -77,8 +77,16 @@ def make_denoiser(cfg: Config):
 
 
 def decode(dec: SVD, y: jnp.ndarray, sigma2, cfg: Config,
-           *, precision=lax.Precision.HIGHEST) -> DecodeResult:
-    """Run VAMP on a batch of trials sharing one channel SVD."""
+           *, state0: VAMPState | None = None,
+           iter_cap: int | None = None,
+           return_state: bool = False,
+           precision=lax.Precision.HIGHEST):
+    """Run VAMP on a batch of trials sharing one channel SVD.
+
+    ``state0`` / ``iter_cap`` / ``return_state`` make the decode resumable
+    (identical trajectory when split at any cap — the basis of the sweep
+    engine's continuation batching, as in :func:`.bamp.decode`).
+    """
     B = y.shape[0]
     U, s, Vh = dec
     p, N = Vh.shape
@@ -94,19 +102,21 @@ def decode(dec: SVD, y: jnp.ndarray, sigma2, cfg: Config,
 
     sparsity = cfg.sparsity
     s2t0 = sparsity ** 2 * (1 - sparsity) + (1 - sparsity) ** 2 * sparsity
-    state0 = VAMPState(
-        r_tilde=jnp.full((B, N), sparsity, y.dtype),     # `vamp.py:25`
-        sigma2_tilde=jnp.full((B, 1), s2t0, jnp.float32),
-        r=jnp.zeros((B, N), y.dtype),
-        var=jnp.ones((B, N), jnp.float32),
-        xmmse=jnp.zeros((B, N), y.dtype),
-        active=jnp.ones((B,), bool),
-        T=jnp.zeros((B,), jnp.int32),
-        t=jnp.zeros((), jnp.int32),
-    )
+    if state0 is None:
+        state0 = VAMPState(
+            r_tilde=jnp.full((B, N), sparsity, y.dtype),     # `vamp.py:25`
+            sigma2_tilde=jnp.full((B, 1), s2t0, jnp.float32),
+            r=jnp.zeros((B, N), y.dtype),
+            var=jnp.ones((B, N), jnp.float32),
+            xmmse=jnp.zeros((B, N), y.dtype),
+            active=jnp.ones((B,), bool),
+            T=jnp.zeros((B,), jnp.int32),
+            t=jnp.zeros((), jnp.int32),
+        )
+    cap = cfg.N_Layers if iter_cap is None else iter_cap
 
     def cond(st: VAMPState):
-        return jnp.logical_and(st.t < cfg.N_Layers, jnp.any(st.active))
+        return jnp.logical_and(st.t < cap, jnp.any(st.active))
 
     def body(st: VAMPState) -> VAMPState:
         # LMMSE stage in the SV domain (`vamp.py:66-73`).
@@ -148,4 +158,7 @@ def decode(dec: SVD, y: jnp.ndarray, sigma2, cfg: Config,
 
     st = lax.while_loop(cond, body, state0)
     # `vamp.py:187` hands `r` (pseudo-data) to the decision layer.
-    return DecodeResult(xmap=st.r, xmmse=st.xmmse, var=st.var, T=st.T)
+    result = DecodeResult(xmap=st.r, xmmse=st.xmmse, var=st.var, T=st.T)
+    if return_state:
+        return result, st
+    return result

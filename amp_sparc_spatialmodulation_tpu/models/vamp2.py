@@ -51,8 +51,14 @@ def make_denoiser(cfg: Config):
 
 def decode(dec: SVD, y: jnp.ndarray, sigma2, cfg: Config, *,
            damping: float = 0.97,
-           precision=lax.Precision.HIGHEST) -> DecodeResult:
-    """Run damped Rangan VAMP on a batch of trials sharing one SVD."""
+           state0: VAMP2State | None = None,
+           iter_cap: int | None = None,
+           return_state: bool = False,
+           precision=lax.Precision.HIGHEST):
+    """Run damped Rangan VAMP on a batch of trials sharing one SVD.
+
+    ``state0`` / ``iter_cap`` / ``return_state`` make the decode resumable
+    (identical trajectory when split at any cap)."""
     B = y.shape[0]
     U, s, Vh = dec
     p, N = Vh.shape
@@ -66,18 +72,20 @@ def decode(dec: SVD, y: jnp.ndarray, sigma2, cfg: Config, *,
     y_tilde = mm(y, jnp.conj(U)) / s[None, :].astype(y.dtype)  # `vamp2.py:22`
     Vh_t, Vh_c = Vh.T, jnp.conj(Vh)
 
-    state0 = VAMP2State(
-        r=jnp.zeros((B, N), y.dtype),
-        gamma=jnp.ones((B, 1), jnp.float32),
-        var=jnp.ones((B, N), jnp.float32),
-        xmmse=jnp.zeros((B, N), y.dtype),
-        active=jnp.ones((B,), bool),
-        T=jnp.zeros((B,), jnp.int32),
-        t=jnp.zeros((), jnp.int32),
-    )
+    if state0 is None:
+        state0 = VAMP2State(
+            r=jnp.zeros((B, N), y.dtype),
+            gamma=jnp.ones((B, 1), jnp.float32),
+            var=jnp.ones((B, N), jnp.float32),
+            xmmse=jnp.zeros((B, N), y.dtype),
+            active=jnp.ones((B,), bool),
+            T=jnp.zeros((B,), jnp.int32),
+            t=jnp.zeros((), jnp.int32),
+        )
+    cap = cfg.N_Layers if iter_cap is None else iter_cap
 
     def cond(st: VAMP2State):
-        return jnp.logical_and(st.t < cfg.N_Layers, jnp.any(st.active))
+        return jnp.logical_and(st.t < cap, jnp.any(st.active))
 
     def body(st: VAMP2State) -> VAMP2State:
         # Denoiser + damping (`vamp2.py:62-63`).
@@ -110,4 +118,7 @@ def decode(dec: SVD, y: jnp.ndarray, sigma2, cfg: Config, *,
         )
 
     st = lax.while_loop(cond, body, state0)
-    return DecodeResult(xmap=st.r, xmmse=st.xmmse, var=st.var, T=st.T)
+    result = DecodeResult(xmap=st.r, xmmse=st.xmmse, var=st.var, T=st.T)
+    if return_state:
+        return result, st
+    return result

@@ -82,8 +82,8 @@ def main():
     form = os.environ.get("BENCH_OPERATOR", "banded")
     two_phase = int(os.environ.get("BENCH_TWO_PHASE", "16"))
     if two_phase > 0:
-        fns = montecarlo.make_two_phase_fns(cfg, "sparc", res, two_phase,
-                                            operator_form=form)
+        fns = montecarlo.make_two_phase_fns(cfg, "bamp", "sparc", res,
+                                            two_phase, operator_form=form)
 
         def step(key, snr):
             return montecarlo.run_two_phase_realization(fns, key, snr)

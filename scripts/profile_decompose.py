@@ -156,7 +156,7 @@ def main():
     print(f"metrics eval:               {t_eval*1e3:8.2f} ms", flush=True)
 
     # end-to-end two-phase for comparison
-    fns = montecarlo.make_two_phase_fns(cfg, "sparc", res, K1,
+    fns = montecarlo.make_two_phase_fns(cfg, "bamp", "sparc", res, K1,
                                         operator_form="banded")
 
     def two_phase(key, snr):

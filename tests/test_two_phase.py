@@ -21,11 +21,21 @@ def test_two_phase_matches_single_phase(tmp_path, k1):
         assert a2[k] == pytest.approx(v, rel=1e-5, abs=1e-9), k
 
 
-def test_two_phase_rejected_for_other_algos(tmp_path):
-    cfg = Config(Nt=16, Na=4, Nr=10, Lin=6, Lh=3, mode="segmented",
-                 alphabet="OOK", trunc="tail")
-    with pytest.raises(ValueError):
-        Simulator(cfg, algo="vamp", out_root=str(tmp_path), two_phase=8)
+@pytest.mark.parametrize("algo,mode", [("scamp", "sparc"), ("vamp", "segmented"),
+                                       ("vamp2", "segmented")])
+def test_two_phase_matches_single_phase_all_algos(tmp_path, algo, mode):
+    """Continuation batching generalizes beyond BAMP: every decoder state
+    is resumable, so the two-phase split must be trajectory-identical."""
+    cfg = Config(Nt=16, Na=4, Nr=10, Lin=6, Lh=3, mode=mode,
+                 alphabet="OOK", profile="uniform", trunc="tail",
+                 iterations=40)
+    s1 = Simulator(cfg, algo=algo, out_root=str(tmp_path / "a"))
+    s2 = Simulator(cfg, algo=algo, out_root=str(tmp_path / "b"),
+                   two_phase=6)
+    a1 = s1.run_point(7.0, epochs=128, res=64)
+    a2 = s2.run_point(7.0, epochs=128, res=64)
+    for k, v in a1.items():
+        assert a2[k] == pytest.approx(v, rel=1e-5, abs=1e-9), k
 
 
 def test_chans_per_batch_matches_single(tmp_path):
