@@ -100,7 +100,9 @@ def main(argv=None) -> int:
     _add_config_args(sparc)
     sparc.add_argument("--ebn0", type=float, required=True)
     sparc.add_argument("--sparc-algo", default="scamp",
-                       choices=["scamp", "bamp"])
+                       choices=["scamp", "bamp", "both"],
+                       help="'both' decodes the same draw with SCAMP and "
+                            "BAMP head-to-head (sparc.py:453-474)")
     sparc.add_argument("--power-allocation", action="store_true",
                        help="exponentially-decaying power allocation")
     sparc.add_argument("--estimate-phi", action="store_true")
@@ -131,12 +133,24 @@ def main(argv=None) -> int:
                                                 cfg.Lin, cfg.Lh, cfg.K)
             snr = 10 ** ((args.ebn0 + 10 * np.log10(rate)) / 10)
             pa = st.exp_power_allocation(snr, cfg.Lin)
-        res = st.run_single_trial(cfg, args.ebn0, algo=args.sparc_algo,
-                                  power_allocation=pa,
-                                  estimate_phi=args.estimate_phi,
-                                  seed=args.seed)
-        print({"ser": res.ser, "fer": res.fer, "nmse": round(res.nmse, 6),
-               "C": round(res.C, 3), "rate_nats": round(res.rate, 4)})
+        def show(res, label=""):
+            print(({"algo": label} if label else {})
+                  | {"ser": res.ser, "fer": res.fer,
+                     "nmse": round(res.nmse, 6), "C": round(res.C, 3),
+                     "rate_nats": round(res.rate, 4)})
+
+        if args.sparc_algo == "both":
+            both = st.compare_single_trial(cfg, args.ebn0,
+                                           power_allocation=pa,
+                                           estimate_phi=args.estimate_phi,
+                                           seed=args.seed)
+            for name, res in both.items():
+                show(res, name)
+        else:
+            show(st.run_single_trial(cfg, args.ebn0, algo=args.sparc_algo,
+                                     power_allocation=pa,
+                                     estimate_phi=args.estimate_phi,
+                                     seed=args.seed))
         return 0
 
     if args.cmd == "plot":

@@ -94,18 +94,17 @@ def _section_errors(xhat, x, L, M):
     return float(errs.mean()), float(errs.any())
 
 
-def run_single_trial(cfg: Config, ebn0_db: float, algo: str = "scamp",
-                     power_allocation: Optional[np.ndarray] = None,
-                     estimate_phi: bool = False, seed: int = 0
-                     ) -> SingleTrialResult:
-    """Single-trial end-to-end SPARC experiment (`sparc.py:316-331`):
-    draw message + power-allocated channel, decode, hard-decide, report
-    section/frame error rates and NMSE.
+def _build_trial(cfg: Config, ebn0_db: float,
+                 power_allocation: Optional[np.ndarray], seed: int):
+    """One (message, power-allocated channel, noise) draw shared by the
+    single-trial experiments.
 
     Uses the framework decoders on the twin's normalization: symbols stay
     unit power, the base matrix mean is renormalized to ``Na/Nr`` so the
     decoders' ``sigma2 = (Na/Nr)/SNR`` convention applies unchanged.
     """
+    from ..ops import operators
+
     rate = segmented_sparc_rate_nats(cfg.Nt, cfg.Na, cfg.Nr, cfg.Lin,
                                      cfg.Lh, cfg.K)
     snr_db = ebn0_db + 10 * np.log10(rate)
@@ -113,9 +112,6 @@ def run_single_trial(cfg: Config, ebn0_db: float, algo: str = "scamp",
     W = base_matrix_pa(cfg.Lin, cfg.Lh, cfg.pdp, power_allocation)
     # renormalize to the decoder convention (mean = Na/Nr, `channel.py:83`)
     W = (W / W.mean() * cfg.Na / cfg.Nr).astype(np.float32)
-
-    from ..ops import operators
-
     key = jax.random.PRNGKey(seed)
     k1, k2, k3 = jax.random.split(key, 3)
     h = channel_ops.sample_sparc_taps(k1, cfg)
@@ -124,7 +120,30 @@ def run_single_trial(cfg: Config, ebn0_db: float, algo: str = "scamp",
         trunc=cfg.trunc)
     msg = message_ops.generate_message(k2, cfg, 1)
     y = op.apply(msg.x) + channel_ops.awgn(k3, cfg, snr, 1)
-    sigma2 = cfg.sigma2(snr)
+    return W, op, msg, y, cfg.sigma2(snr), snr, rate
+
+
+def _eval_trial(out, msg, cfg: Config, snr: float,
+                rate: float) -> SingleTrialResult:
+    from ..utils import metrics
+
+    dec = metrics.decide(out.xmap, cfg)
+    ser, fer = _section_errors(dec.xhat[0], msg.x[0], cfg.Lin, cfg.Nt)
+    nmse = float(jnp.mean(jnp.abs(out.xmmse - msg.x) ** 2))
+    return SingleTrialResult(ser=ser, fer=fer, nmse=nmse,
+                             C=float(np.log2(1 + snr)), rate=rate)
+
+
+def run_single_trial(cfg: Config, ebn0_db: float, algo: str = "scamp",
+                     power_allocation: Optional[np.ndarray] = None,
+                     estimate_phi: bool = False, seed: int = 0
+                     ) -> SingleTrialResult:
+    """Single-trial end-to-end SPARC experiment (`sparc.py:316-331`):
+    draw message + power-allocated channel, decode, hard-decide, report
+    section/frame error rates and NMSE.
+    """
+    W, op, msg, y, sigma2, snr, rate = _build_trial(cfg, ebn0_db,
+                                                    power_allocation, seed)
     if algo == "scamp":
         out = scamp_mod.decode(jnp.asarray(W), op, y, sigma2, cfg,
                                estimate_phi=estimate_phi)
@@ -132,11 +151,21 @@ def run_single_trial(cfg: Config, ebn0_db: float, algo: str = "scamp",
         out = bamp_mod.decode(op, y, sigma2, cfg)
     else:
         raise ValueError(f"unknown algo {algo!r}")
+    return _eval_trial(out, msg, cfg, snr, rate)
 
-    from ..utils import metrics
 
-    dec = metrics.decide(out.xmap, cfg)
-    ser, fer = _section_errors(dec.xhat[0], msg.x[0], cfg.Lin, cfg.Nt)
-    nmse = float(jnp.mean(jnp.abs(out.xmmse - msg.x) ** 2))
-    C = float(np.log2(1 + snr))
-    return SingleTrialResult(ser=ser, fer=fer, nmse=nmse, C=C, rate=rate)
+def compare_single_trial(cfg: Config, ebn0_db: float,
+                         power_allocation: Optional[np.ndarray] = None,
+                         estimate_phi: bool = False, seed: int = 0
+                         ) -> dict:
+    """Decode the SAME (message, channel, noise) draw with SCAMP and BAMP
+    and report both — the reference twin's head-to-head comparison
+    (`sparc.py:453-474`, SPARC2.run prints SCAMP and BAMP error rates for
+    one shared draw)."""
+    W, op, msg, y, sigma2, snr, rate = _build_trial(cfg, ebn0_db,
+                                                    power_allocation, seed)
+    out_s = scamp_mod.decode(jnp.asarray(W), op, y, sigma2, cfg,
+                             estimate_phi=estimate_phi)
+    out_b = bamp_mod.decode(op, y, sigma2, cfg)
+    return {"scamp": _eval_trial(out_s, msg, cfg, snr, rate),
+            "bamp": _eval_trial(out_b, msg, cfg, snr, rate)}

@@ -168,8 +168,17 @@ def evaluate_sums(xmap: jnp.ndarray, xmmse: jnp.ndarray, msg: Message,
     # --- index / symbol / bit errors (`loss.py:153-179`)
     ier = (dec.flat != msg.flat).sum()
     ser = (dec.gray != msg.gray).sum()
-    ibits_trunc = int(np.ceil(np.log2(max(cfg.Lin * B * cfg.Na, 2))))
-    iber_ = _popcount_masked(dec.flat, msg.flat, ibits_trunc)
+    # The reference XORs *global* flat indices truncated to
+    # ceil(log2(Lin*B*Na)) bits with ITS batch size B (`loss.py:20,169` —
+    # B=1 on every published final sweep).  We reduce both sides to
+    # within-frame indices (mod Lin*Nt strips our batch offset) and pin the
+    # width to the per-frame (B=1) convention, so iber is exactly the
+    # reference's published quantity and invariant to how many trials we
+    # batch per decode; see docs/COVERAGE.md "Deliberate divergences".
+    ibits_trunc = int(np.ceil(np.log2(max(cfg.Lin * cfg.Na, 2))))
+    n_frame = np.int32(cfg.Lin * cfg.Nt)
+    iber_ = _popcount_masked(dec.flat % n_frame, msg.flat % n_frame,
+                             ibits_trunc)
     sber_ = _popcount_masked(dec.gray, msg.gray, cfg.symbol_bits)
 
     f32 = lambda v: jnp.asarray(v, jnp.float32)

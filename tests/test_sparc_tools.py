@@ -62,3 +62,17 @@ def test_run_single_with_power_allocation():
     res = st.run_single_trial(cfg, ebn0_db=12.0, algo="scamp",
                               power_allocation=pa, seed=2)
     assert np.isfinite(res.nmse)
+
+
+def test_compare_single_trial_shared_draw():
+    """Head-to-head SCAMP-vs-BAMP on ONE shared draw (`sparc.py:453-474`):
+    results must equal the per-algorithm runs with the same seed."""
+    cfg = Config(Nt=16, Na=2, Nr=12, Lin=6, Lh=2, mode="sparc",
+                 alphabet="QPSK", profile="uniform", trunc="tail",
+                 iterations=40)
+    both = st.compare_single_trial(cfg, ebn0_db=14.0, seed=1)
+    assert set(both) == {"scamp", "bamp"}
+    solo_b = st.run_single_trial(cfg, ebn0_db=14.0, algo="bamp", seed=1)
+    solo_s = st.run_single_trial(cfg, ebn0_db=14.0, algo="scamp", seed=1)
+    assert both["bamp"] == solo_b
+    assert both["scamp"] == solo_s
