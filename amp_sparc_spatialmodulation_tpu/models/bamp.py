@@ -136,8 +136,21 @@ def decode(H, y: jnp.ndarray, sigma2, cfg: Config,
 
         if not isinstance(op, operators.BandedOperator):
             raise ValueError("use_pallas requires a BandedOperator")
-        fused = FusedBandedIteration(
-            op, B, interpret=jax.default_backend() != "tpu")
+        # Whole-iteration fusion (linear maps + denoiser in one VMEM pass)
+        # applies to complex single-symbol segmented alphabets (OOK).
+        fuse_den = (cfg.mode in ("segmented", "sparc") and cfg.K == 1
+                    and cfg.is_complex and cfg.M > 0
+                    and (cfg.M & (cfg.M - 1)) == 0)
+        try:
+            fused = FusedBandedIteration(
+                op, B, interpret=jax.default_backend() != "tpu",
+                fuse_denoiser=fuse_den,
+                symbols=cfg.symbols if fuse_den else None,
+                M=cfg.M if fuse_den else 0)
+        except ValueError:
+            # Geometry doesn't fit a VMEM trial tile (e.g. the massive
+            # Nt=1344 config) — the XLA banded path covers it.
+            fused = None
 
     sigma2 = jnp.asarray(sigma2, jnp.float32)
     if state0 is None:
@@ -158,16 +171,20 @@ def decode(H, y: jnp.ndarray, sigma2, cfg: Config,
 
     def body(s: BAMPState) -> BAMPState:
         # One AMP iteration (`bamp.py:59-64`).
-        if fused is not None:
-            xmap, cov, z, u = fused(s.xmmse, s.var, s.z, s.u, y, sigma2)
+        if fused is not None and fused.fuse_denoiser:
+            xmap, xmmse, var, z, u = fused(s.xmmse, s.var, s.z, s.u, y,
+                                           sigma2)
         else:
-            v = op.apply_abs2(s.var)                             # (B, n)
-            z = op.apply(s.xmmse) - (v * (y - s.z) / s.u).astype(cdtype)
-            u = v + sigma2
-            cov = 1.0 / op.apply_abs2T(1.0 / u)                  # (B, N)
-            resid = ((y - z) / u).astype(cdtype)
-            xmap = s.xmmse + cov * op.apply_adj(resid)
-        xmmse, var = denoiser(xmap, cov)
+            if fused is not None:
+                xmap, cov, z, u = fused(s.xmmse, s.var, s.z, s.u, y, sigma2)
+            else:
+                v = op.apply_abs2(s.var)                         # (B, n)
+                z = op.apply(s.xmmse) - (v * (y - s.z) / s.u).astype(cdtype)
+                u = v + sigma2
+                cov = 1.0 / op.apply_abs2T(1.0 / u)              # (B, N)
+                resid = ((y - z) / u).astype(cdtype)
+                xmap = s.xmmse + cov * op.apply_adj(resid)
+            xmmse, var = denoiser(xmap, cov)
         converged = _allclose_rows(var, s.var)
         return BAMPState(
             xmap=_freeze(s.active, xmap, s.xmap),

@@ -1,10 +1,10 @@
-"""Fused banded BAMP iteration — Pallas TPU kernel.
+"""Fused banded BAMP iteration — Pallas TPU kernels.
 
 One AMP iteration (`/root/reference/bamp.py:59-63`) is four banded linear
 maps plus an elementwise chain.  The XLA path (``ops.operators``) runs
 them as separate matmul kernels with every intermediate round-tripping
-HBM.  This kernel performs the WHOLE linear part of one iteration in a
-single pass per trial tile, entirely in VMEM:
+HBM.  These kernels perform one WHOLE iteration per trial tile in a
+single pass, entirely in VMEM:
 
     v     = |H|^2 @ var                  (banded, MXU)
     z'    = H @ xmmse - v * (y - z) / u  (banded + VPU)
@@ -12,23 +12,36 @@ single pass per trial tile, entirely in VMEM:
     cov   = 1 / (|H|^2^T @ (1/u'))       (banded adjoint, MXU)
     xmap  = xmmse + cov * (H^H @ ((y - z') / u'))
 
-Mosaic-native layout: blocks are ``(block_count, B_tile, features)`` —
-the TRIAL TILE is the sublane (second-to-last) dimension (divisible by 8)
-and the feature dimension (``Nt`` / ``Nr``) is the lane dimension.  State
-crosses the kernel as split re/im float32 planes shaped ``(Lin, B, Nt)``
-/ ``(Lout, B, Nr)`` (complex is unsupported in Mosaic), and every
-in-kernel op is strictly 2-D — per-channel-use-block matmuls
-``(B_tile, Nt) @ (Nt, Lh*Nr)`` over a static ``Lin`` loop, plus 2-D
-column slices for the band shift-accumulate.
+and, in the fully-fused variant (``fuse_denoiser=True``), the K=1
+segmented softmax denoiser (`bamp.py:66-77` with one symbol):
 
-Grid: 1-D over trial tiles.  The denoiser stays outside (XLA fuses its
-elementwise chain well and it differs per algorithm/alphabet).
+    t      = 2 Re(xmap conj(s0)) / cov          (tau/2 calibration)
+    segmax = per-segment max of t               (suffix-max via lane rolls
+                                                 + indicator-matmul broadcast)
+    post   = exp(t - segmax) / seg_sum(exp(t - segmax))
+    xmmse' = s0 * post
+    var'   = |s0|^2 * post * (1 - post)
 
-Backend status: numerically exact vs the XLA path (interpret mode on CPU;
-all three truncation geometries).  On the axon remote-compile tunnel the
-in-``while_loop`` AOT compile has historically been flaky; the XLA banded
-path stays the production default (``use_pallas=False``) unless the
-benchmark shows this kernel winning on directly-attached hardware.
+so the whole BAMP iteration for OOK-style alphabets is one VMEM-resident
+pass — no (B, N) intermediate ever returns to HBM.
+
+Layout: blocks are ``(block_count, B_tile, features)`` — the TRIAL TILE is
+the sublane (second-to-last) dimension and the feature dim (``Nt``/``Nr``)
+is the lane dimension.  Inside the kernel the leading two dims collapse to
+one big ``(Lin*Bt, Nt)`` / ``(Lout*Bt, Nr)`` plane (a free row-major
+reshape), so every matmul runs at ``M = Lin*Bt`` — full MXU sublane
+utilization instead of per-block ``M = Bt`` slivers — and the band
+shift-accumulate is ``Lh`` contiguous row-slice adds.  The per-(tap,
+column-block) gains enter as host-precomputed ``(Lin*Bt, Lh*Nr)`` planes
+(outer-product expanded, identical for every tile).  State crosses the
+kernel as split re/im float32 planes (complex is unsupported in Mosaic).
+
+Matmul precision is ``HIGHEST`` (6-pass f32): the decoders' per-trial
+``allclose`` early stop at rtol=1e-5 requires it — bf16 passes leave the
+posterior variance fluttering above tolerance, so trials never freeze
+(measured: meanT 100/cap vs 11 at the flagship 8 dB point).
+
+Grid: 1-D over trial tiles.
 """
 from __future__ import annotations
 
@@ -40,104 +53,227 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_DOT = dict(preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
-def _row_of(c, l, Lin, Lout, trunc):
-    """Output block row hit by tap ``l`` of column block ``c`` (or None)."""
-    r = c + l
+
+def _band_shift(wp, l, Bt, Lin, Lout, trunc):
+    """Tap-``l`` contribution plane: ``wp`` rows (column blocks c) placed at
+    their target row blocks ``r = c + l`` (mod Lin if cyclic) in a
+    ``(Lout*Bt, Nr)`` plane.  Pure concatenation — no scatter."""
     if trunc == "cyclic":
-        return r % Lin
-    return r if r < Lout else None
+        main = Lin - l                      # c in [0, main) -> r = c + l
+        if l == 0:
+            return wp
+        return jnp.concatenate([wp[main * Bt:], wp[:main * Bt]], axis=0)
+    parts = []
+    if l:
+        parts.append(jnp.zeros((l * Bt, wp.shape[1]), wp.dtype))
+    if trunc == "tail":                     # every c lands (Lout = Lin+Lh-1)
+        parts.append(wp)
+        pad = Lout - Lin - l
+        if pad:
+            parts.append(jnp.zeros((pad * Bt, wp.shape[1]), wp.dtype))
+    else:                                   # trunc: rows r >= Lout dropped
+        parts.append(wp[:(Lin - l) * Bt])
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _band_gather(w2d, l, Bt, Lin, Lout, trunc):
+    """Tap-``l`` row blocks of the y-side plane seen by each column block
+    (rows ``r = c + l``), zero where the row doesn't exist."""
+    if trunc == "cyclic":
+        main = Lin - l
+        if l == 0:
+            return w2d
+        return jnp.concatenate([w2d[l * Bt:], w2d[:l * Bt]], axis=0)
+    if trunc == "tail":
+        return w2d[l * Bt:(l + Lin) * Bt]
+    keep = Lin - l
+    if keep <= 0:
+        return jnp.zeros((Lin * Bt, w2d.shape[1]), w2d.dtype)
+    if l == 0:
+        return w2d
+    return jnp.concatenate(
+        [w2d[l * Bt:], jnp.zeros((l * Bt, w2d.shape[1]), w2d.dtype)], axis=0)
+
+
+def _linear_iteration(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
+                      S_re, S_im, S_a2, St_re, St_im, St_a2, Gf, G2f,
+                      *, Lin, Lout, Lh, Nt, Nr, Bt, trunc):
+    """One iteration's linear part on the collapsed big planes.
+
+    Inputs are ``(Lin*Bt, Nt)`` x-side / ``(Lout*Bt, Nr)`` y-side values;
+    returns ``(xmap_re, xmap_im, cov, zn_re, zn_im, un)``.
+    """
+    dot = functools.partial(jnp.dot, **_DOT)
+    # ---- forward: one big matmul per plane, then Lh slice-adds ---------
+    Pv = G2f * dot(var, S_a2)                       # (Lin*Bt, Lh*Nr)
+    Pr = Gf * (dot(xm_re, S_re) - dot(xm_im, S_im))
+    Pi = Gf * (dot(xm_im, S_re) + dot(xm_re, S_im))
+    # Band shift-accumulate without lane-offset slices (Mosaic cannot
+    # sublane-concat them): mask each tap's lane group elementwise, shift
+    # rows with full-width concats (all at lane offset 0), and fold the
+    # Lh lane groups with a small indicator matmul at the end.
+    W = Lh * Nr
+    group = jax.lax.broadcasted_iota(jnp.int32, (Lin * Bt, W), 1) // Nr
+    acc_v = acc_re = acc_im = None
+    for l in range(Lh):
+        m = group == l
+        cv = _band_shift(jnp.where(m, Pv, 0.0), l, Bt, Lin, Lout, trunc)
+        cr = _band_shift(jnp.where(m, Pr, 0.0), l, Bt, Lin, Lout, trunc)
+        ci = _band_shift(jnp.where(m, Pi, 0.0), l, Bt, Lin, Lout, trunc)
+        acc_v = cv if acc_v is None else acc_v + cv
+        acc_re = cr if acc_re is None else acc_re + cr
+        acc_im = ci if acc_im is None else acc_im + ci
+    # (W, Nr) lane-fold indicator: R[l*Nr + j, j] = 1
+    fold = (jax.lax.broadcasted_iota(jnp.int32, (W, Nr), 0) % Nr
+            == jax.lax.broadcasted_iota(jnp.int32, (W, Nr), 1)
+            ).astype(jnp.float32)
+    v = dot(acc_v, fold)
+    hx_re = dot(acc_re, fold)
+    hx_im = dot(acc_im, fold)
+
+    # ---- Onsager residual + variances (`bamp.py:60-61`) ----------------
+    w = v / u
+    zn_re = hx_re - w * (y_re - z_re)
+    zn_im = hx_im - w * (y_im - z_im)
+    un = v + sigma2
+
+    # ---- backward: assemble Z planes, one big matmul each --------------
+    uinv = 1.0 / un
+    rr = (y_re - zn_re) * uinv
+    ri = (y_im - zn_im) * uinv
+    Zc = jnp.concatenate(
+        [_band_gather(uinv, l, Bt, Lin, Lout, trunc) for l in range(Lh)],
+        axis=1)
+    Zr = jnp.concatenate(
+        [_band_gather(rr, l, Bt, Lin, Lout, trunc) for l in range(Lh)],
+        axis=1)
+    Zi = jnp.concatenate(
+        [_band_gather(ri, l, Bt, Lin, Lout, trunc) for l in range(Lh)],
+        axis=1)
+    cov = 1.0 / dot(G2f * Zc, St_a2)                # (Lin*Bt, Nt)
+    adj_re = dot(Gf * Zr, St_re) + dot(Gf * Zi, St_im)
+    adj_im = dot(Gf * Zi, St_re) - dot(Gf * Zr, St_im)
+    return (xm_re + cov * adj_re, xm_im + cov * adj_im, cov,
+            zn_re, zn_im, un)
+
+
+def _x2d(ref, Bt, Nt):
+    return ref[:].reshape(-1, Nt)
 
 
 def _iteration_kernel(sigma2_ref, xm_re_ref, xm_im_ref, var_ref,
                       z_re_ref, z_im_ref, u_ref, y_re_ref, y_im_ref,
                       S_re_ref, S_im_ref, S_a2_ref,
-                      St_re_ref, St_im_ref, St_a2_ref, g_ref, g2_ref,
+                      St_re_ref, St_im_ref, St_a2_ref, Gf_ref, G2f_ref,
                       xmap_re_ref, xmap_im_ref, cov_ref,
                       zn_re_ref, zn_im_ref, un_ref,
-                      *, Lin, Lout, Lh, Nt, Nr, trunc):
-    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-    sigma2 = sigma2_ref[0]
-    S_re, S_im, S_a2 = S_re_ref[:], S_im_ref[:], S_a2_ref[:]  # (Nt, Lh*Nr)
-    St_re, St_im, St_a2 = St_re_ref[:], St_im_ref[:], St_a2_ref[:]
-
-    # ---- forward banded maps, one channel-use block at a time ----------
-    # v[r] = sum_l g2[l, r-l] |h_l|^2 var[r-l] ;  Hx likewise with h.
-    # Accumulate into the y-side output refs (zero-init first).
-    for r in range(Lout):
-        zn_re_ref[r] = jnp.zeros_like(zn_re_ref[r])
-        zn_im_ref[r] = jnp.zeros_like(zn_im_ref[r])
-        un_ref[r] = jnp.zeros_like(un_ref[r])
-
-    for c in range(Lin):
-        xc_re = xm_re_ref[c]                     # (Bt, Nt)
-        xc_im = xm_im_ref[c]
-        vc = var_ref[c]
-        Pv = dot(vc, S_a2)                       # (Bt, Lh*Nr)
-        Pr = dot(xc_re, S_re) - dot(xc_im, S_im)
-        Pi = dot(xc_im, S_re) + dot(xc_re, S_im)
-        for l in range(Lh):
-            r = _row_of(c, l, Lin, Lout, trunc)
-            if r is None:
-                continue
-            sl = slice(l * Nr, (l + 1) * Nr)
-            un_ref[r] += g2_ref[l, c] * Pv[:, sl]
-            zn_re_ref[r] += g_ref[l, c] * Pr[:, sl]
-            zn_im_ref[r] += g_ref[l, c] * Pi[:, sl]
-
-    # ---- Onsager residual + variances (`bamp.py:60-61`) ----------------
-    # At this point un_ref holds v, zn_ref holds Hx.
-    for r in range(Lout):
-        v = un_ref[r]
-        w = v / u_ref[r]
-        zn_re_ref[r] = zn_re_ref[r] - w * (y_re_ref[r] - z_re_ref[r])
-        zn_im_ref[r] = zn_im_ref[r] - w * (y_im_ref[r] - z_im_ref[r])
-        un_ref[r] = v + sigma2
-
-    # ---- backward banded maps (`bamp.py:62-63`) ------------------------
-    for c in range(Lin):
-        zs_c, zs_re, zs_im = [], [], []
-        for l in range(Lh):
-            r = _row_of(c, l, Lin, Lout, trunc)
-            if r is None:
-                uinv = jnp.zeros_like(un_ref[0])
-                rr = jnp.zeros_like(uinv)
-                ri = rr
-            else:
-                uinv = 1.0 / un_ref[r]
-                rr = (y_re_ref[r] - zn_re_ref[r]) * uinv
-                ri = (y_im_ref[r] - zn_im_ref[r]) * uinv
-            zs_c.append(g2_ref[l, c] * uinv)
-            zs_re.append(g_ref[l, c] * rr)
-            zs_im.append(g_ref[l, c] * ri)
-        Zc = jnp.concatenate(zs_c, axis=1)       # (Bt, Lh*Nr)
-        Zr = jnp.concatenate(zs_re, axis=1)
-        Zi = jnp.concatenate(zs_im, axis=1)
-        cov_c = 1.0 / dot(Zc, St_a2)             # (Bt, Nt)
-        # H^H r: re = Zr S_re^T + Zi S_im^T ; im = Zi S_re^T - Zr S_im^T
-        adj_re = dot(Zr, St_re) + dot(Zi, St_im)
-        adj_im = dot(Zi, St_re) - dot(Zr, St_im)
-        cov_ref[c] = cov_c
-        xmap_re_ref[c] = xm_re_ref[c] + cov_c * adj_re
-        xmap_im_ref[c] = xm_im_ref[c] + cov_c * adj_im
+                      *, Lin, Lout, Lh, Nt, Nr, Bt, trunc):
+    """Linear part of one iteration; denoiser stays outside (general K)."""
+    xmap_re, xmap_im, cov, zn_re, zn_im, un = _linear_iteration(
+        sigma2_ref[0],
+        _x2d(xm_re_ref, Bt, Nt), _x2d(xm_im_ref, Bt, Nt),
+        _x2d(var_ref, Bt, Nt),
+        _x2d(z_re_ref, Bt, Nr), _x2d(z_im_ref, Bt, Nr),
+        _x2d(u_ref, Bt, Nr), _x2d(y_re_ref, Bt, Nr), _x2d(y_im_ref, Bt, Nr),
+        S_re_ref[:], S_im_ref[:], S_a2_ref[:],
+        St_re_ref[:], St_im_ref[:], St_a2_ref[:], Gf_ref[:], G2f_ref[:],
+        Lin=Lin, Lout=Lout, Lh=Lh, Nt=Nt, Nr=Nr, Bt=Bt, trunc=trunc)
+    xmap_re_ref[:] = xmap_re.reshape(Lin, Bt, Nt)
+    xmap_im_ref[:] = xmap_im.reshape(Lin, Bt, Nt)
+    cov_ref[:] = cov.reshape(Lin, Bt, Nt)
+    zn_re_ref[:] = zn_re.reshape(Lout, Bt, Nr)
+    zn_im_ref[:] = zn_im.reshape(Lout, Bt, Nr)
+    un_ref[:] = un.reshape(Lout, Bt, Nr)
 
 
-def _pick_tile(B: int, N: int, n: int, Lh: int, Nr: int, Nt: int) -> int:
+def _segment_reduce_mats(Nt: int, M: int):
+    """(Nt, Na) segment indicator and its transpose, built in-kernel from
+    iota (Pallas kernels cannot capture array constants)."""
+    Na = Nt // M
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Nt, Na), 0) // M
+    cols = jax.lax.broadcasted_iota(jnp.int32, (Nt, Na), 1)
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (Na, Nt), 1) // M
+    cols_t = jax.lax.broadcasted_iota(jnp.int32, (Na, Nt), 0)
+    return ((rows == cols).astype(jnp.float32),
+            (rows_t == cols_t).astype(jnp.float32))
+
+
+def _k1_denoiser(xr, xi, cov, *, Nt, M, s0_re, s0_im):
+    """K=1 segmented softmax posterior on a (rows, Nt) plane
+    (`bamp.py:66-77`, tau = cov/2; var simplifies to |s0|^2 p (1-p))."""
+    dot = functools.partial(jnp.dot, **_DOT)
+    rows = xr.shape[0]
+    Sind, SindT = _segment_reduce_mats(Nt, M)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (rows, Nt), 1) % M
+    t = 2.0 * (xr * s0_re + xi * s0_im) / cov
+    acc = t                                       # suffix max per segment
+    j = 1
+    while j < M:
+        # left-roll by j == cyclic roll by Nt - j (shift must be >= 0)
+        rolled = pltpu.roll(acc, shift=Nt - j, axis=1)
+        acc = jnp.where(pos + j < M, jnp.maximum(acc, rolled), acc)
+        j *= 2
+    head = jnp.where(pos == 0, acc, 0.0)
+    segmax = dot(dot(head, Sind), SindT)          # broadcast over segment
+    eta = jnp.exp(t - segmax)                     # <= 1
+    eta2 = dot(dot(eta, Sind), SindT)             # segment sums >= 1
+    post = eta / eta2
+    var = (s0_re * s0_re + s0_im * s0_im) * post * (1.0 - post)
+    return s0_re * post, s0_im * post, var
+
+
+def _iteration_fused_kernel(sigma2_ref, xm_re_ref, xm_im_ref, var_ref,
+                            z_re_ref, z_im_ref, u_ref, y_re_ref, y_im_ref,
+                            S_re_ref, S_im_ref, S_a2_ref,
+                            St_re_ref, St_im_ref, St_a2_ref,
+                            Gf_ref, G2f_ref,
+                            xmap_re_ref, xmap_im_ref,
+                            xn_re_ref, xn_im_ref, varn_ref,
+                            zn_re_ref, zn_im_ref, un_ref,
+                            *, Lin, Lout, Lh, Nt, Nr, Bt, trunc,
+                            M, s0_re, s0_im):
+    """Whole BAMP iteration incl. the K=1 segmented denoiser."""
+    xmap_re, xmap_im, cov, zn_re, zn_im, un = _linear_iteration(
+        sigma2_ref[0],
+        _x2d(xm_re_ref, Bt, Nt), _x2d(xm_im_ref, Bt, Nt),
+        _x2d(var_ref, Bt, Nt),
+        _x2d(z_re_ref, Bt, Nr), _x2d(z_im_ref, Bt, Nr),
+        _x2d(u_ref, Bt, Nr), _x2d(y_re_ref, Bt, Nr), _x2d(y_im_ref, Bt, Nr),
+        S_re_ref[:], S_im_ref[:], S_a2_ref[:],
+        St_re_ref[:], St_im_ref[:], St_a2_ref[:], Gf_ref[:], G2f_ref[:],
+        Lin=Lin, Lout=Lout, Lh=Lh, Nt=Nt, Nr=Nr, Bt=Bt, trunc=trunc)
+    xn_re, xn_im, varn = _k1_denoiser(xmap_re, xmap_im, cov, Nt=Nt, M=M,
+                                      s0_re=s0_re, s0_im=s0_im)
+    xmap_re_ref[:] = xmap_re.reshape(Lin, Bt, Nt)
+    xmap_im_ref[:] = xmap_im.reshape(Lin, Bt, Nt)
+    xn_re_ref[:] = xn_re.reshape(Lin, Bt, Nt)
+    xn_im_ref[:] = xn_im.reshape(Lin, Bt, Nt)
+    varn_ref[:] = varn.reshape(Lin, Bt, Nt)
+    zn_re_ref[:] = zn_re.reshape(Lout, Bt, Nr)
+    zn_im_ref[:] = zn_im.reshape(Lout, Bt, Nr)
+    un_ref[:] = un.reshape(Lout, Bt, Nr)
+
+
+def _pick_tile(B: int, n_x: int, n_y: int, Lin: int, Lout: int,
+               Nt: int, Nr: int) -> int:
     """Largest trial tile (sublane dim, multiple of 8) whose working set
     fits VMEM.
 
-    When the grid has more than one program, Pallas double-buffers the
-    grid-dependent blocks (pipelined prefetch), so the budget must cover
-    TWO copies of every blocked operand.
+    ``n_x``/``n_y`` count the blocked x-side / y-side planes (inputs +
+    outputs).  When the grid has more than one program, Pallas
+    double-buffers the grid-dependent blocks (pipelined prefetch), so the
+    budget must cover TWO copies of every blocked operand.
     """
     budget = 11 * 1024 * 1024
     lane = lambda d: -(-d // 128) * 128       # Mosaic pads lanes to 128
-    Lin, Lout = N // Nt, n // Nr
     for tile in (512, 256, 128, 64, 32, 16, 8):
         if B % tile != 0:
             continue
-        xside = 6 * tile * Lin * lane(Nt) * 4
-        yside = 9 * tile * Lout * lane(Nr) * 4
+        xside = n_x * tile * Lin * lane(Nt) * 4
+        yside = n_y * tile * Lout * lane(Nr) * 4
         mult = 1 if tile == B else 2          # double-buffered when grid > 1
         if mult * (xside + yside) < budget:
             return tile
@@ -145,7 +281,7 @@ def _pick_tile(B: int, N: int, n: int, Lh: int, Nr: int, Nt: int) -> int:
 
 
 def _call(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
-          S_re, S_im, S_a2, g, g2, geom, interpret):
+          S_re, S_im, S_a2, Gf, G2f, geom, interpret, denoise_args=None):
     Lin, Lout, Lh, Nt, Nr, tile, trunc = geom
     B = xm_re.shape[1]
     grid = (B // tile,)
@@ -159,54 +295,81 @@ def _call(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
                             memory_space=pltpu.VMEM)
 
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    kern = functools.partial(_iteration_kernel, Lin=Lin, Lout=Lout, Lh=Lh,
-                             Nt=Nt, Nr=Nr, trunc=trunc)
-    out_shape = [jax.ShapeDtypeStruct((Lin, B, Nt), jnp.float32),  # xmap re
-                 jax.ShapeDtypeStruct((Lin, B, Nt), jnp.float32),  # xmap im
-                 jax.ShapeDtypeStruct((Lin, B, Nt), jnp.float32),  # cov
-                 jax.ShapeDtypeStruct((Lout, B, Nr), jnp.float32),  # z re
-                 jax.ShapeDtypeStruct((Lout, B, Nr), jnp.float32),  # z im
-                 jax.ShapeDtypeStruct((Lout, B, Nr), jnp.float32)]  # u
+    x_shape = jax.ShapeDtypeStruct((Lin, B, Nt), jnp.float32)
+    y_shape = jax.ShapeDtypeStruct((Lout, B, Nr), jnp.float32)
+    static = dict(Lin=Lin, Lout=Lout, Lh=Lh, Nt=Nt, Nr=Nr, Bt=tile,
+                  trunc=trunc)
+    if denoise_args is None:
+        kern = functools.partial(_iteration_kernel, **static)
+        # xmap re/im, cov, z re/im, u
+        out_shape = [x_shape] * 3 + [y_shape] * 3
+        out_specs = [xspec()] * 3 + [yspec()] * 3
+    else:
+        M, s0_re, s0_im = denoise_args
+        kern = functools.partial(_iteration_fused_kernel, **static,
+                                 M=M, s0_re=s0_re, s0_im=s0_im)
+        # xmap re/im, xmmse re/im, var, z re/im, u
+        out_shape = [x_shape] * 5 + [y_shape] * 3
+        out_specs = [xspec()] * 5 + [yspec()] * 3
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]      # sigma2 (1,)
         + [xspec(), xspec(), xspec(), yspec(), yspec(), yspec(),
            yspec(), yspec(), full(), full(), full(), full(), full(), full(),
-           pl.BlockSpec(memory_space=pltpu.SMEM),      # gains
-           pl.BlockSpec(memory_space=pltpu.SMEM)],     # gains^2
-        out_specs=[xspec(), xspec(), xspec(), yspec(), yspec(), yspec()],
+           full(), full()],                       # taps + gain planes
+        out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=14 * 1024 * 1024),
         interpret=interpret,
     )(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
-      S_re, S_im, S_a2, S_re.T, S_im.T, S_a2.T, g, g2)
+      S_re, S_im, S_a2, S_re.T, S_im.T, S_a2.T, Gf, G2f)
 
 
 class FusedBandedIteration:
-    """Callable wrapping the fused kernel for a fixed banded operator.
+    """Callable wrapping the fused kernels for a fixed banded operator.
 
     Built from an :class:`..operators.BandedOperator`; ``__call__`` maps
     (B, ·)-major complex jnp state to the kernel's block-major split
-    planes, runs the kernel, and returns ``(xmap, cov, z_new, u_new)`` in
-    the decoder's layout — a drop-in for the linear part of the BAMP
-    iteration.
+    planes, runs the kernel, and returns results in the decoder's layout.
+
+    With ``fuse_denoiser=False`` (general alphabets) it returns
+    ``(xmap, cov, z_new, u_new)`` — the linear part of the iteration, the
+    denoiser runs outside.  With ``fuse_denoiser=True`` (complex
+    single-symbol alphabets, M a power of two) it returns
+    ``(xmap, xmmse, var, z_new, u_new)`` — the WHOLE iteration fused.
     """
 
-    def __init__(self, op, batch: int, interpret: bool = False):
+    def __init__(self, op, batch: int, interpret: bool = False,
+                 fuse_denoiser: bool = False, symbols=None, M: int = 0):
         self.op = op
         self.interpret = interpret
-        tile = _pick_tile(batch, op.Lin * op.Nt, op.Lout * op.Nr,
-                          op.Lh, op.Nr, op.Nt)
+        self.fuse_denoiser = fuse_denoiser
+        if fuse_denoiser:
+            if symbols is None or len(symbols) != 1:
+                raise ValueError("fused denoiser supports K=1 alphabets")
+            if M <= 0 or (M & (M - 1)):
+                raise ValueError("fused denoiser needs M a power of two")
+            s0 = complex(symbols[0])
+            self.denoise_args = (M, np.float32(s0.real), np.float32(s0.imag))
+        else:
+            self.denoise_args = None
+        n_x = 8 if fuse_denoiser else 6
+        tile = _pick_tile(batch, n_x, 9, op.Lin, op.Lout, op.Nt, op.Nr)
         if tile == 0:
             raise ValueError("no trial tile fits VMEM for this geometry")
         self.geom = (op.Lin, op.Lout, op.Lh, op.Nt, op.Nr, tile, op.trunc)
         self.S_re = jnp.real(op.h_stack)
         self.S_im = jnp.imag(op.h_stack)
         self.S_a2 = op.abs_h2_stack
-        self.g = op.gains
-        self.g2 = op.gains2
+        # (Lin*tile, Lh*Nr) outer-product gain planes: row block c (tile
+        # rows), column group l holds gains[l, c]; identical per tile.
+        # jnp ops: gains may be traced (operator built inside a jit).
+        g = jnp.asarray(op.gains, jnp.float32)        # (Lh, Lin)
+        gf = jnp.repeat(jnp.repeat(g.T, tile, axis=0), op.Nr, axis=1)
+        self.Gf = gf
+        self.G2f = gf * gf
 
     def _to_x(self, a):
         """(B, Lin*Nt) -> (Lin, B, Nt)."""
@@ -231,11 +394,20 @@ class FusedBandedIteration:
                     self._to_y(jnp.real(z)), self._to_y(jnp.imag(z)),
                     self._to_y(u),
                     self._to_y(jnp.real(y)), self._to_y(jnp.imag(y)),
-                    self.S_re, self.S_im, self.S_a2, self.g, self.g2,
-                    self.geom, self.interpret)
-        xmap_re, xmap_im, cov, zr, zi, un = out
+                    self.S_re, self.S_im, self.S_a2, self.Gf, self.G2f,
+                    self.geom, self.interpret,
+                    denoise_args=self.denoise_args)
+        if self.denoise_args is None:
+            xmap_re, xmap_im, cov, zr, zi, un = out
+            return (jax.lax.complex(self._from_x(xmap_re),
+                                    self._from_x(xmap_im)),
+                    self._from_x(cov),
+                    jax.lax.complex(self._from_y(zr), self._from_y(zi)),
+                    self._from_y(un))
+        xmap_re, xmap_im, xn_re, xn_im, varn, zr, zi, un = out
         return (jax.lax.complex(self._from_x(xmap_re),
                                 self._from_x(xmap_im)),
-                self._from_x(cov),
+                jax.lax.complex(self._from_x(xn_re), self._from_x(xn_im)),
+                self._from_x(varn),
                 jax.lax.complex(self._from_y(zr), self._from_y(zi)),
                 self._from_y(un))

@@ -56,6 +56,35 @@ def _watchdog(seconds: int):
     return t
 
 
+def _roofline(cfg, iters_per_s: float, batch: int) -> dict:
+    """FLOPs/bytes accounting of one banded BAMP iteration per trial.
+
+    The linear core is 2 complex banded mat-vecs (H@x, H^H r — 8 real
+    flops per complex MAC) and 2 real ones (|H|^2@var, |H|^2^T(1/u) — 2
+    flops per MAC), each ``Lin*Nt*Lh*Nr`` MACs (`bamp.py:59-63` on the tap
+    form).  Bytes: per-iteration traffic of the (B, N)/(B, n) state planes
+    (complex64 xmap/xmmse/z read+write, f32 var/cov/u, y read), taps
+    amortized across the trial batch.
+    """
+    N, n = cfg.Lin * cfg.Nt, cfg.Lout * cfg.Nr
+    macs = cfg.Lin * cfg.Nt * cfg.Lh * cfg.Nr
+    flops = (8 + 8 + 2 + 2) * macs
+    bytes_per = (N * (2 * 8 * 2 + 2 * 4 * 2)       # xmap,xmmse c8 rw; var,cov f32 rw
+                 + n * (8 * 2 + 4 * 2 + 8))        # z c8 rw, u f32 rw, y c8 r
+    achieved = iters_per_s * flops
+    # v5e: 197 TFLOP/s bf16 MXU peak; Precision.HIGHEST f32 is the 6-pass
+    # decomposition => /6 effective peak; HBM ~819 GB/s.
+    bf16_peak, f32_peak, hbm = 197e12, 197e12 / 6, 819e9
+    return {
+        "flops_per_iter_trial": flops,
+        "arithmetic_intensity": flops / bytes_per,
+        "useful_tflops": achieved / 1e12,
+        "mfu_vs_f32_highest_peak": achieved / f32_peak,
+        "mfu_vs_bf16_peak": achieved / bf16_peak,
+        "hbm_bound_tflops": flops / bytes_per * hbm / 1e12,
+    }
+
+
 def main():
     timer = _watchdog(int(os.environ.get("BENCH_TIMEOUT", "560")))
     import jax
@@ -82,8 +111,12 @@ def main():
     form = os.environ.get("BENCH_OPERATOR", "banded")
     two_phase = int(os.environ.get("BENCH_TWO_PHASE", "16"))
     if two_phase > 0:
+        pallas_env = os.environ.get("BENCH_PALLAS", "auto")
+        use_pallas = ("auto" if pallas_env == "auto"
+                      else pallas_env not in ("0", "false"))
         fns = montecarlo.make_two_phase_fns(cfg, "bamp", "sparc", res,
-                                            two_phase, operator_form=form)
+                                            two_phase, operator_form=form,
+                                            use_pallas=use_pallas)
 
         def step(key, snr):
             return montecarlo.run_two_phase_realization(fns, key, snr)
@@ -125,6 +158,14 @@ def main():
     trials_per_s = best["trials_per_s"]
     log(f"best: {trials_per_s:.1f} trials/s  meanT={best['meanT']:.2f}  "
         f"FER={best['fer']:.3e}  iters/s={best['iters_per_s']:.0f}")
+    rl = _roofline(cfg, best["iters_per_s"], res)
+    log("roofline: "
+        f"{rl['flops_per_iter_trial'] / 1e6:.2f} MFLOP/iter/trial, "
+        f"AI={rl['arithmetic_intensity']:.0f} flop/B, "
+        f"useful {rl['useful_tflops']:.2f} TFLOP/s = "
+        f"{rl['mfu_vs_f32_highest_peak']:.1%} of f32-HIGHEST peak "
+        f"({rl['mfu_vs_bf16_peak']:.1%} of bf16 peak); "
+        f"HBM roof {rl['hbm_bound_tflops']:.1f} TFLOP/s")
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "reference_baseline.json")
