@@ -67,6 +67,70 @@ def _freeze(mask, new, old):
     return jnp.where(mask[:, None] if new.ndim == 2 else mask, new, old)
 
 
+class _PlaneState(NamedTuple):
+    """BAMP state in the fused kernel's block-major split-real planes:
+    x-side (Lin, B, Nt) f32, y-side (Lout, B, Nr) f32."""
+
+    xmap_re: jnp.ndarray
+    xmap_im: jnp.ndarray
+    xm_re: jnp.ndarray
+    xm_im: jnp.ndarray
+    var: jnp.ndarray
+    z_re: jnp.ndarray
+    z_im: jnp.ndarray
+    u: jnp.ndarray
+    active: jnp.ndarray
+    T: jnp.ndarray
+    t: jnp.ndarray
+
+
+def _fused_plane_loop(fused, s0: "BAMPState", y, sigma2, cap) -> "BAMPState":
+    """Whole-iteration-fused decode with state kept in kernel layout.
+
+    Converting (B, N) complex state to the kernel's split planes costs 8
+    full-array transposes; doing that every iteration (as the generic
+    ``__call__`` wrapper would) costs more than the kernel itself.  This
+    loop converts once at entry and once at exit.
+    """
+    tx, ty = fused._to_x, fused._to_y
+    y_re, y_im = ty(jnp.real(y)), ty(jnp.imag(y))
+    sigma2 = jnp.asarray(sigma2, jnp.float32)
+    ps = _PlaneState(
+        xmap_re=tx(jnp.real(s0.xmap)), xmap_im=tx(jnp.imag(s0.xmap)),
+        xm_re=tx(jnp.real(s0.xmmse)), xm_im=tx(jnp.imag(s0.xmmse)),
+        var=tx(s0.var),
+        z_re=ty(jnp.real(s0.z)), z_im=ty(jnp.imag(s0.z)), u=ty(s0.u),
+        active=s0.active, T=s0.T, t=s0.t)
+
+    def cond(s: _PlaneState):
+        return jnp.logical_and(s.t < cap, jnp.any(s.active))
+
+    def body(s: _PlaneState) -> _PlaneState:
+        out = fused.plane_call(sigma2, s.xm_re, s.xm_im, s.var,
+                               s.z_re, s.z_im, s.u, y_re, y_im)
+        xmap_re, xmap_im, xn_re, xn_im, varn, zr, zi, un = out
+        # per-trial torch.allclose(var_new, var_old) over the plane axes
+        ok = jnp.abs(varn - s.var) <= _ATOL + _RTOL * jnp.abs(s.var)
+        converged = jnp.all(ok, axis=(0, 2))
+        fz = lambda new, old: jnp.where(s.active[None, :, None], new, old)
+        return _PlaneState(
+            xmap_re=fz(xmap_re, s.xmap_re), xmap_im=fz(xmap_im, s.xmap_im),
+            xm_re=fz(xn_re, s.xm_re), xm_im=fz(xn_im, s.xm_im),
+            var=fz(varn, s.var),
+            z_re=fz(zr, s.z_re), z_im=fz(zi, s.z_im), u=fz(un, s.u),
+            active=s.active & ~converged,
+            T=jnp.where(s.active, s.t + 1, s.T),
+            t=s.t + 1)
+
+    s = lax.while_loop(cond, body, ps)
+    cx = lambda re, im: lax.complex(fused._from_x(re), fused._from_x(im))
+    return BAMPState(
+        xmap=cx(s.xmap_re, s.xmap_im), xmmse=cx(s.xm_re, s.xm_im),
+        var=fused._from_x(s.var),
+        z=lax.complex(fused._from_y(s.z_re), fused._from_y(s.z_im)),
+        u=fused._from_y(s.u), active=s.active, T=s.T, t=s.t)
+
+
 def make_denoiser(cfg: Config):
     """Denoiser selected statically from config (`bamp.py:43-46`).
 
@@ -169,22 +233,28 @@ def decode(H, y: jnp.ndarray, sigma2, cfg: Config,
     def cond(s: BAMPState):
         return jnp.logical_and(s.t < cap, jnp.any(s.active))
 
+    if fused is not None and fused.fuse_denoiser:
+        # Plane-layout loop: state stays in the kernel's block-major split
+        # planes across iterations — the (B, N) <-> plane transposes cost
+        # more than the kernel itself when repeated every iteration.
+        s = _fused_plane_loop(fused, state0, y, sigma2, cap)
+        result = DecodeResult(xmap=s.xmap, xmmse=s.xmmse, var=s.var, T=s.T)
+        if return_state:
+            return result, s
+        return result
+
     def body(s: BAMPState) -> BAMPState:
         # One AMP iteration (`bamp.py:59-64`).
-        if fused is not None and fused.fuse_denoiser:
-            xmap, xmmse, var, z, u = fused(s.xmmse, s.var, s.z, s.u, y,
-                                           sigma2)
+        if fused is not None:
+            xmap, cov, z, u = fused(s.xmmse, s.var, s.z, s.u, y, sigma2)
         else:
-            if fused is not None:
-                xmap, cov, z, u = fused(s.xmmse, s.var, s.z, s.u, y, sigma2)
-            else:
-                v = op.apply_abs2(s.var)                         # (B, n)
-                z = op.apply(s.xmmse) - (v * (y - s.z) / s.u).astype(cdtype)
-                u = v + sigma2
-                cov = 1.0 / op.apply_abs2T(1.0 / u)              # (B, N)
-                resid = ((y - z) / u).astype(cdtype)
-                xmap = s.xmmse + cov * op.apply_adj(resid)
-            xmmse, var = denoiser(xmap, cov)
+            v = op.apply_abs2(s.var)                             # (B, n)
+            z = op.apply(s.xmmse) - (v * (y - s.z) / s.u).astype(cdtype)
+            u = v + sigma2
+            cov = 1.0 / op.apply_abs2T(1.0 / u)                  # (B, N)
+            resid = ((y - z) / u).astype(cdtype)
+            xmap = s.xmmse + cov * op.apply_adj(resid)
+        xmmse, var = denoiser(xmap, cov)
         converged = _allclose_rows(var, s.var)
         return BAMPState(
             xmap=_freeze(s.active, xmap, s.xmap),

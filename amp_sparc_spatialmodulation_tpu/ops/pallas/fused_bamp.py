@@ -386,6 +386,19 @@ class FusedBandedIteration:
     def _from_y(self, a):
         return a.transpose(1, 0, 2).reshape(a.shape[1], -1)
 
+    def plane_call(self, sigma2, xm_re, xm_im, var, z_re, z_im, u,
+                   y_re, y_im):
+        """Run the kernel directly on block-major split planes —
+        ``(Lin, B, Nt)`` x-side / ``(Lout, B, Nr)`` y-side float32 — so a
+        decode loop can keep its state in kernel layout across iterations
+        (the (B, N) <-> plane transposes cost more than the kernel when
+        done every iteration)."""
+        sig = jnp.asarray(sigma2, jnp.float32).reshape(1)
+        return _call(sig, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
+                     self.S_re, self.S_im, self.S_a2, self.Gf, self.G2f,
+                     self.geom, self.interpret,
+                     denoise_args=self.denoise_args)
+
     def __call__(self, xmmse, var, z, u, y, sigma2):
         sig = jnp.asarray(sigma2, jnp.float32).reshape(1)
         out = _call(sig,
