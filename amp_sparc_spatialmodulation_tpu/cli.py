@@ -77,6 +77,17 @@ def main(argv=None) -> int:
                        help="tensor-parallel size (BAMP only)")
     sweep.add_argument("--estimate-phi", action="store_true",
                        help="SCAMP empirical residual variance (estSCAMP)")
+    sweep.add_argument("--two-phase", type=int, default=None, metavar="K1",
+                       help="continuation batching: cap phase 1 at K1 "
+                            "iterations, finish the unconverged tail in a "
+                            "compact bucket (pick K1 just above the "
+                            "point's mean T)")
+    sweep.add_argument("--chans", type=int, default=1,
+                       help="channel realizations vmapped per device call")
+    sweep.add_argument("--use-pallas", default="auto",
+                       choices=["auto", "true", "false"],
+                       help="fused Pallas iteration (auto = BAMP + banded "
+                            "+ K=1 alphabets on TPU)")
     sweep.add_argument("--plot", action="store_true")
 
     plot = sub.add_parser("plot", help="rebuild plots from artifacts")
@@ -170,9 +181,13 @@ def main(argv=None) -> int:
         return 0
 
     # sweep
+    use_pallas = (args.use_pallas if args.use_pallas == "auto"
+                  else args.use_pallas == "true")
     kw = dict(algo=args.algo, channel_kind=args.channel, out_root=args.out,
               algo_dir=args.algo_dir, seed=args.seed,
-              estimate_phi=args.estimate_phi, operator_form=args.operator)
+              estimate_phi=args.estimate_phi, operator_form=args.operator,
+              two_phase=args.two_phase, chans_per_batch=args.chans,
+              use_pallas=use_pallas)
     if args.shard or args.model_axis > 1:
         from .parallel.mesh import make_mesh
         from .parallel.sweep import ShardedSimulator
