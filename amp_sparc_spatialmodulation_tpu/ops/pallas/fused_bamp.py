@@ -267,6 +267,11 @@ def _pick_tile(B: int, n_x: int, n_y: int, Lin: int, Lout: int,
     double-buffers the grid-dependent blocks (pipelined prefetch), so the
     budget must cover TWO copies of every blocked operand.
     """
+    import os
+    override = os.environ.get("PALLAS_TILE")  # perf-tuning experiments
+    if override:
+        t = int(override)
+        return t if B % t == 0 else 0
     budget = 11 * 1024 * 1024
     lane = lambda d: -(-d // 128) * 128       # Mosaic pads lanes to 128
     for tile in (512, 256, 128, 64, 32, 16, 8):
