@@ -99,14 +99,18 @@ def _band_gather(w2d, l, Bt, Lin, Lout, trunc):
 
 
 def _linear_iteration(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
-                      S_re, S_im, S_a2, St_re, St_im, St_a2, Gf, G2f,
+                      S_re, S_im, S_a2, St_re, St_im, St_a2, Gf_s, G2f_s,
                       *, Lin, Lout, Lh, Nt, Nr, Bt, trunc):
     """One iteration's linear part on the collapsed big planes.
 
     Inputs are ``(Lin*Bt, Nt)`` x-side / ``(Lout*Bt, Nr)`` y-side values;
+    gains come in as host-expanded ``(Lin*Bt, Lh*Nr)`` resident planes
+    (in-kernel expansion from (Lin, Lh*Nr) measured 12% slower and did
+    not unlock a larger tile — scoped VMEM is dominated by temporaries);
     returns ``(xmap_re, xmap_im, cov, zn_re, zn_im, un)``.
     """
     dot = functools.partial(jnp.dot, **_DOT)
+    Gf, G2f = Gf_s, G2f_s
     # ---- forward: one big matmul per plane, then Lh slice-adds ---------
     Pv = G2f * dot(var, S_a2)                       # (Lin*Bt, Lh*Nr)
     Pr = Gf * (dot(xm_re, S_re) - dot(xm_im, S_im))
