@@ -83,7 +83,6 @@ def _band_gather(w2d, l, Bt, Lin, Lout, trunc):
     """Tap-``l`` row blocks of the y-side plane seen by each column block
     (rows ``r = c + l``), zero where the row doesn't exist."""
     if trunc == "cyclic":
-        main = Lin - l
         if l == 0:
             return w2d
         return jnp.concatenate([w2d[l * Bt:], w2d[:l * Bt]], axis=0)

@@ -56,7 +56,7 @@ def _watchdog(seconds: int):
     return t
 
 
-def _roofline(cfg, iters_per_s: float, batch: int) -> dict:
+def _roofline(cfg, iters_per_s: float) -> dict:
     """FLOPs/bytes accounting of one banded BAMP iteration per trial.
 
     The linear core is 2 complex banded mat-vecs (H@x, H^H r — 8 real
@@ -158,7 +158,7 @@ def main():
     trials_per_s = best["trials_per_s"]
     log(f"best: {trials_per_s:.1f} trials/s  meanT={best['meanT']:.2f}  "
         f"FER={best['fer']:.3e}  iters/s={best['iters_per_s']:.0f}")
-    rl = _roofline(cfg, best["iters_per_s"], res)
+    rl = _roofline(cfg, best["iters_per_s"])
     log("roofline: "
         f"{rl['flops_per_iter_trial'] / 1e6:.2f} MFLOP/iter/trial, "
         f"AI={rl['arithmetic_intensity']:.0f} flop/B, "
