@@ -106,18 +106,19 @@ def _fused_plane_loop(fused, s0: "BAMPState", y, sigma2, cap) -> "BAMPState":
         return jnp.logical_and(s.t < cap, jnp.any(s.active))
 
     def body(s: _PlaneState) -> _PlaneState:
+        # Per-trial freeze and the allclose residual count happen inside
+        # the kernel (act mask + notok output); the six carried planes
+        # update in-place via input/output aliasing.
+        act = s.active.astype(jnp.float32)[:, None]
         out = fused.plane_call(sigma2, s.xm_re, s.xm_im, s.var,
-                               s.z_re, s.z_im, s.u, y_re, y_im)
-        xmap_re, xmap_im, xn_re, xn_im, varn, zr, zi, un = out
-        # per-trial torch.allclose(var_new, var_old) over the plane axes
-        ok = jnp.abs(varn - s.var) <= _ATOL + _RTOL * jnp.abs(s.var)
-        converged = jnp.all(ok, axis=(0, 2))
+                               s.z_re, s.z_im, s.u, y_re, y_im, act=act)
+        xmap_re, xmap_im, xn_re, xn_im, varn, zr, zi, un, notok = out
+        converged = notok.sum(axis=0)[:, 0] == 0.0
         fz = lambda new, old: jnp.where(s.active[None, :, None], new, old)
         return _PlaneState(
             xmap_re=fz(xmap_re, s.xmap_re), xmap_im=fz(xmap_im, s.xmap_im),
-            xm_re=fz(xn_re, s.xm_re), xm_im=fz(xn_im, s.xm_im),
-            var=fz(varn, s.var),
-            z_re=fz(zr, s.z_re), z_im=fz(zi, s.z_im), u=fz(un, s.u),
+            xm_re=xn_re, xm_im=xn_im, var=varn,
+            z_re=zr, z_im=zi, u=un,
             active=s.active & ~converged,
             T=jnp.where(s.active, s.t + 1, s.T),
             t=s.t + 1)

@@ -228,36 +228,51 @@ def _k1_denoiser(xr, xi, cov, *, Nt, M, s0_re, s0_im):
     return s0_re * post, s0_im * post, var
 
 
-def _iteration_fused_kernel(sigma2_ref, xm_re_ref, xm_im_ref, var_ref,
-                            z_re_ref, z_im_ref, u_ref, y_re_ref, y_im_ref,
+def _iteration_fused_kernel(sigma2_ref, act_ref, xm_re_ref, xm_im_ref,
+                            var_ref, z_re_ref, z_im_ref, u_ref,
+                            y_re_ref, y_im_ref,
                             S_re_ref, S_im_ref, S_a2_ref,
                             St_re_ref, St_im_ref, St_a2_ref,
                             Gf_ref, G2f_ref,
                             xmap_re_ref, xmap_im_ref,
                             xn_re_ref, xn_im_ref, varn_ref,
-                            zn_re_ref, zn_im_ref, un_ref,
+                            zn_re_ref, zn_im_ref, un_ref, notok_ref,
                             *, Lin, Lout, Lh, Nt, Nr, Bt, trunc,
                             M, s0_re, s0_im):
-    """Whole BAMP iteration incl. the K=1 segmented denoiser."""
+    """Whole BAMP iteration incl. the K=1 segmented denoiser, per-trial
+    FREEZE (state of converged trials passes through unchanged — enabling
+    in-place input/output buffer aliasing) and the convergence test
+    (``notok`` = per-(block, trial) count of variance entries outside the
+    allclose tolerance; the driver reduces it over blocks)."""
+    xm_re, xm_im = _x2d(xm_re_ref, Bt, Nt), _x2d(xm_im_ref, Bt, Nt)
+    var = _x2d(var_ref, Bt, Nt)
+    z_re, z_im = _x2d(z_re_ref, Bt, Nr), _x2d(z_im_ref, Bt, Nr)
+    u = _x2d(u_ref, Bt, Nr)
     xmap_re, xmap_im, cov, zn_re, zn_im, un = _linear_iteration(
-        sigma2_ref[0],
-        _x2d(xm_re_ref, Bt, Nt), _x2d(xm_im_ref, Bt, Nt),
-        _x2d(var_ref, Bt, Nt),
-        _x2d(z_re_ref, Bt, Nr), _x2d(z_im_ref, Bt, Nr),
-        _x2d(u_ref, Bt, Nr), _x2d(y_re_ref, Bt, Nr), _x2d(y_im_ref, Bt, Nr),
+        sigma2_ref[0], xm_re, xm_im, var, z_re, z_im, u,
+        _x2d(y_re_ref, Bt, Nr), _x2d(y_im_ref, Bt, Nr),
         S_re_ref[:], S_im_ref[:], S_a2_ref[:],
         St_re_ref[:], St_im_ref[:], St_a2_ref[:], Gf_ref[:], G2f_ref[:],
         Lin=Lin, Lout=Lout, Lh=Lh, Nt=Nt, Nr=Nr, Bt=Bt, trunc=trunc)
     xn_re, xn_im, varn = _k1_denoiser(xmap_re, xmap_im, cov, Nt=Nt, M=M,
                                       s0_re=s0_re, s0_im=s0_im)
+    # per-trial torch.allclose(var_new, var_old) residual count (`bamp.py:140`)
+    bad = jnp.abs(varn - var) > 1e-8 + 1e-5 * jnp.abs(var)
+    notok = jnp.sum(bad.astype(jnp.float32), axis=1, keepdims=True)
+    # freeze: converged trials keep their previous state (act: 1.0/0.0)
+    act = act_ref[:]                                  # (Bt, 1)
+    mx = jnp.concatenate([act] * Lin, axis=0)         # (Lin*Bt, 1)
+    my = jnp.concatenate([act] * Lout, axis=0)        # (Lout*Bt, 1)
+    sel = lambda m, new, old: m * new + (1.0 - m) * old
     xmap_re_ref[:] = xmap_re.reshape(Lin, Bt, Nt)
     xmap_im_ref[:] = xmap_im.reshape(Lin, Bt, Nt)
-    xn_re_ref[:] = xn_re.reshape(Lin, Bt, Nt)
-    xn_im_ref[:] = xn_im.reshape(Lin, Bt, Nt)
-    varn_ref[:] = varn.reshape(Lin, Bt, Nt)
-    zn_re_ref[:] = zn_re.reshape(Lout, Bt, Nr)
-    zn_im_ref[:] = zn_im.reshape(Lout, Bt, Nr)
-    un_ref[:] = un.reshape(Lout, Bt, Nr)
+    xn_re_ref[:] = sel(mx, xn_re, xm_re).reshape(Lin, Bt, Nt)
+    xn_im_ref[:] = sel(mx, xn_im, xm_im).reshape(Lin, Bt, Nt)
+    varn_ref[:] = sel(mx, varn, var).reshape(Lin, Bt, Nt)
+    zn_re_ref[:] = sel(my, zn_re, z_re).reshape(Lout, Bt, Nr)
+    zn_im_ref[:] = sel(my, zn_im, z_im).reshape(Lout, Bt, Nr)
+    un_ref[:] = sel(my, un, u).reshape(Lout, Bt, Nr)
+    notok_ref[:] = notok.reshape(Lin, Bt, 1)
 
 
 def _pick_tile(B: int, n_x: int, n_y: int, Lin: int, Lout: int,
@@ -289,7 +304,8 @@ def _pick_tile(B: int, n_x: int, n_y: int, Lin: int, Lout: int,
 
 
 def _call(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
-          S_re, S_im, S_a2, Gf, G2f, geom, interpret, denoise_args=None):
+          S_re, S_im, S_a2, Gf, G2f, geom, interpret, denoise_args=None,
+          act=None):
     Lin, Lout, Lh, Nt, Nr, tile, trunc = geom
     B = xm_re.shape[1]
     grid = (B // tile,)
@@ -307,31 +323,54 @@ def _call(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
     y_shape = jax.ShapeDtypeStruct((Lout, B, Nr), jnp.float32)
     static = dict(Lin=Lin, Lout=Lout, Lh=Lh, Nt=Nt, Nr=Nr, Bt=tile,
                   trunc=trunc)
+    state_specs = [xspec(), xspec(), xspec(), yspec(), yspec(), yspec(),
+                   yspec(), yspec(), full(), full(), full(), full(),
+                   full(), full(), full(), full()]  # state, y, taps, gains
     if denoise_args is None:
         kern = functools.partial(_iteration_kernel, **static)
         # xmap re/im, cov, z re/im, u
         out_shape = [x_shape] * 3 + [y_shape] * 3
         out_specs = [xspec()] * 3 + [yspec()] * 3
-    else:
-        M, s0_re, s0_im = denoise_args
-        kern = functools.partial(_iteration_fused_kernel, **static,
-                                 M=M, s0_re=s0_re, s0_im=s0_im)
-        # xmap re/im, xmmse re/im, var, z re/im, u
-        out_shape = [x_shape] * 5 + [y_shape] * 3
-        out_specs = [xspec()] * 5 + [yspec()] * 3
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + state_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=14 * 1024 * 1024),
+            interpret=interpret,
+        )(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
+          S_re, S_im, S_a2, S_re.T, S_im.T, S_a2.T, Gf, G2f)
+
+    M, s0_re, s0_im = denoise_args
+    kern = functools.partial(_iteration_fused_kernel, **static,
+                             M=M, s0_re=s0_re, s0_im=s0_im)
+    if act is None:
+        act = jnp.ones((B, 1), jnp.float32)
+    aspec = pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    nspec = pl.BlockSpec((Lin, tile, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    # xmap re/im, xmmse re/im, var, z re/im, u, notok
+    out_shape = ([x_shape] * 5 + [y_shape] * 3
+                 + [jax.ShapeDtypeStruct((Lin, B, 1), jnp.float32)])
+    out_specs = [xspec()] * 5 + [yspec()] * 3 + [nspec]
+    # In-place state update: frozen trials pass through in-kernel, so the
+    # six carried planes can reuse their input buffers (no loop copies).
+    aliases = {2: 2, 3: 3, 4: 4, 5: 5, 6: 6, 7: 7}
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]      # sigma2 (1,)
-        + [xspec(), xspec(), xspec(), yspec(), yspec(), yspec(),
-           yspec(), yspec(), full(), full(), full(), full(), full(), full(),
-           full(), full()],                       # taps + gain planes
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), aspec]
+        + state_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=14 * 1024 * 1024),
         interpret=interpret,
-    )(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
+    )(sigma2, act, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
       S_re, S_im, S_a2, S_re.T, S_im.T, S_a2.T, Gf, G2f)
 
 
@@ -395,17 +434,23 @@ class FusedBandedIteration:
         return a.transpose(1, 0, 2).reshape(a.shape[1], -1)
 
     def plane_call(self, sigma2, xm_re, xm_im, var, z_re, z_im, u,
-                   y_re, y_im):
+                   y_re, y_im, act=None):
         """Run the kernel directly on block-major split planes —
         ``(Lin, B, Nt)`` x-side / ``(Lout, B, Nr)`` y-side float32 — so a
         decode loop can keep its state in kernel layout across iterations
         (the (B, N) <-> plane transposes cost more than the kernel when
-        done every iteration)."""
+        done every iteration).
+
+        With the fused denoiser, ``act`` is the (B, 1) f32 active mask:
+        frozen trials pass through in-kernel (their six carried planes
+        reuse the input buffers via aliasing), and the extra ``notok``
+        output counts variance entries outside the allclose tolerance per
+        (channel-use block, trial)."""
         sig = jnp.asarray(sigma2, jnp.float32).reshape(1)
         return _call(sig, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
                      self.S_re, self.S_im, self.S_a2, self.Gf, self.G2f,
                      self.geom, self.interpret,
-                     denoise_args=self.denoise_args)
+                     denoise_args=self.denoise_args, act=act)
 
     def __call__(self, xmmse, var, z, u, y, sigma2):
         sig = jnp.asarray(sigma2, jnp.float32).reshape(1)
@@ -425,7 +470,7 @@ class FusedBandedIteration:
                     self._from_x(cov),
                     jax.lax.complex(self._from_y(zr), self._from_y(zi)),
                     self._from_y(un))
-        xmap_re, xmap_im, xn_re, xn_im, varn, zr, zi, un = out
+        xmap_re, xmap_im, xn_re, xn_im, varn, zr, zi, un, _ = out
         return (jax.lax.complex(self._from_x(xmap_re),
                                 self._from_x(xmap_im)),
                 jax.lax.complex(self._from_x(xn_re), self._from_x(xn_im)),
