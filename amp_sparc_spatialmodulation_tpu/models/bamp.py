@@ -197,7 +197,8 @@ def decode(H, y: jnp.ndarray, sigma2, cfg: Config,
 
     fused = None
     if use_pallas:
-        from ..ops.pallas.fused_bamp import FusedBandedIteration
+        from ..ops.pallas.fused_bamp import (FusedBandedIteration,
+                                             NoVmemTileError)
 
         if not isinstance(op, operators.BandedOperator):
             raise ValueError("use_pallas requires a BandedOperator")
@@ -212,7 +213,7 @@ def decode(H, y: jnp.ndarray, sigma2, cfg: Config,
                 fuse_denoiser=fuse_den,
                 symbols=cfg.symbols if fuse_den else None,
                 M=cfg.M if fuse_den else 0)
-        except ValueError:
+        except NoVmemTileError:
             # Geometry doesn't fit a VMEM trial tile (e.g. the massive
             # Nt=1344 config) — the XLA banded path covers it.
             fused = None

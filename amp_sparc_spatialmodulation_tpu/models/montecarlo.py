@@ -357,6 +357,16 @@ class Simulator:
 
     # --- host-side sweep --------------------------------------------------
 
+    def trials_per_point(self, epochs: int, res: int = 1) -> int:
+        """Trials :meth:`run_point` actually decodes — batching rounds the
+        realization count up to a multiple of ``chans_per_batch``, and the
+        manifest must record the true sample count, not the request."""
+        n_real = max(1, int(np.ceil(epochs / res)))
+        if self.two_phase is not None:
+            return n_real * res
+        C = self.chans_per_batch
+        return int(np.ceil(n_real / C)) * C * res
+
     def run_point(self, ebn0_db: float, epochs: int, res: int = 1,
                   snr_idx: int = 0) -> Dict[str, float]:
         """Simulate one Eb/N0 point with ``epochs`` trials total, reusing
@@ -419,7 +429,7 @@ class Simulator:
             t0 = time.perf_counter()
             avg = self.run_point(ebn0, epochs, res, snr_idx=i)
             dt = time.perf_counter() - t0
-            n_trials = int(np.ceil(epochs / res)) * res
+            n_trials = self.trials_per_point(epochs, res)
             artifacts.export_point(self.path, ebn0, snr_db, cfg, avg)
             artifacts.update_manifest(self.path, ebn0, n_trials, self.seed)
             results[float(ebn0)] = avg

@@ -57,6 +57,14 @@ _DOT = dict(preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
 
 
+class NoVmemTileError(ValueError):
+    """No trial tile of the requested batch fits the VMEM budget.
+
+    The decoders catch exactly this to fall back to the XLA banded path;
+    other ValueErrors (bad kernel arguments, invalid PALLAS_TILE overrides)
+    propagate."""
+
+
 def _band_shift(wp, l, Bt, Lin, Lout, trunc):
     """Tap-``l`` contribution plane: ``wp`` rows (column blocks c) placed at
     their target row blocks ``r = c + l`` (mod Lin if cyclic) in a
@@ -263,7 +271,10 @@ def _iteration_fused_kernel(sigma2_ref, act_ref, xm_re_ref, xm_im_ref,
     act = act_ref[:]                                  # (Bt, 1)
     mx = jnp.concatenate([act] * Lin, axis=0)         # (Lin*Bt, 1)
     my = jnp.concatenate([act] * Lout, axis=0)        # (Lout*Bt, 1)
-    sel = lambda m, new, old: m * new + (1.0 - m) * old
+    # Comparison select, NOT m*new + (1-m)*old: the multiplicative form
+    # propagates non-finite values from the discarded branch (0*Inf=NaN),
+    # which would corrupt frozen state if a recomputed plane ever overflowed.
+    sel = lambda m, new, old: jnp.where(m > 0.0, new, old)
     xmap_re_ref[:] = xmap_re.reshape(Lin, Bt, Nt)
     xmap_im_ref[:] = xmap_im.reshape(Lin, Bt, Nt)
     xn_re_ref[:] = sel(mx, xn_re, xm_re).reshape(Lin, Bt, Nt)
@@ -286,10 +297,22 @@ def _pick_tile(B: int, n_x: int, n_y: int, Lin: int, Lout: int,
     budget must cover TWO copies of every blocked operand.
     """
     import os
+    import warnings
     override = os.environ.get("PALLAS_TILE")  # perf-tuning experiments
     if override:
         t = int(override)
-        return t if B % t == 0 else 0
+        # The override bypasses the VMEM-fit budget by design (that is the
+        # experiment), but never the hard layout constraints: Mosaic needs
+        # the sublane dim a multiple of 8 and the grid must cover B.
+        if t % 8 != 0:
+            raise ValueError(f"PALLAS_TILE={t} must be a multiple of 8 "
+                             "(Mosaic sublane constraint)")
+        if B % t != 0:
+            raise ValueError(f"PALLAS_TILE={t} must divide the trial "
+                             f"batch {B}")
+        warnings.warn(f"PALLAS_TILE={t} overrides the VMEM-fit tile "
+                      "search (perf experiment knob)", stacklevel=3)
+        return t
     budget = 11 * 1024 * 1024
     lane = lambda d: -(-d // 128) * 128       # Mosaic pads lanes to 128
     for tile in (512, 256, 128, 64, 32, 16, 8):
@@ -405,7 +428,8 @@ class FusedBandedIteration:
         n_x = 8 if fuse_denoiser else 6
         tile = _pick_tile(batch, n_x, 9, op.Lin, op.Lout, op.Nt, op.Nr)
         if tile == 0:
-            raise ValueError("no trial tile fits VMEM for this geometry")
+            raise NoVmemTileError(
+                "no trial tile fits VMEM for this geometry")
         self.geom = (op.Lin, op.Lout, op.Lh, op.Nt, op.Nr, tile, op.trunc)
         self.S_re = jnp.real(op.h_stack)
         self.S_im = jnp.imag(op.h_stack)

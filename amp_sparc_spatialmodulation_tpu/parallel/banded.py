@@ -80,8 +80,8 @@ class HaloBandedOperator:
         self.k = lax.axis_size(axis_name)
         self.Lh, self.Nr, self.Nt = h.shape
         if cfg.Lin % self.k:
-            raise ValueError(f"Lin={cfg.Lin} must divide the model axis "
-                             f"size {self.k}")
+            raise ValueError(f"model axis size k={self.k} must divide "
+                             f"Lin={cfg.Lin}")
         self.LinL = cfg.Lin // self.k
         if self.Lh - 1 > self.LinL:
             raise ValueError(f"halo Lh-1={self.Lh - 1} exceeds the local "

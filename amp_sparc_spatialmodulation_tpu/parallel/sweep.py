@@ -155,6 +155,11 @@ class ShardedSimulator(montecarlo.Simulator):
                                  estimate_phi=self.estimate_phi,
                                  operator_form=self.operator_form)
 
+    def trials_per_point(self, epochs: int, res: int = 1) -> int:
+        n_real = max(1, int(np.ceil(epochs / res)))
+        DC = self.mesh.shape[TRIALS_AXIS] * self.chans_per_batch
+        return int(np.ceil(n_real / DC)) * DC * res
+
     def run_point(self, ebn0_db: float, epochs: int, res: int = 1,
                   snr_idx: int = 0):
         cfg = self.cfg

@@ -72,6 +72,22 @@ def test_fused_requires_banded():
         bamp.decode(op.densify(), y, s2, cfg, use_pallas=True)
 
 
+def test_pallas_tile_override_validation(monkeypatch):
+    """PALLAS_TILE bypasses the VMEM budget (the experiment knob) but never
+    the hard layout constraints, and it must announce itself."""
+    from amp_sparc_spatialmodulation_tpu.ops.pallas.fused_bamp import (
+        _pick_tile)
+    monkeypatch.setenv("PALLAS_TILE", "12")   # not a multiple of 8
+    with pytest.raises(ValueError):
+        _pick_tile(96, 6, 9, 20, 22, 128, 24)
+    monkeypatch.setenv("PALLAS_TILE", "64")   # doesn't divide B
+    with pytest.raises(ValueError):
+        _pick_tile(96, 6, 9, 20, 22, 128, 24)
+    monkeypatch.setenv("PALLAS_TILE", "16")
+    with pytest.warns(UserWarning):
+        assert _pick_tile(96, 6, 9, 20, 22, 128, 24) == 16
+
+
 def test_tile_picker():
     from amp_sparc_spatialmodulation_tpu.ops.pallas.fused_bamp import (
         _pick_tile)

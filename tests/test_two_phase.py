@@ -38,6 +38,27 @@ def test_two_phase_matches_single_phase_all_algos(tmp_path, algo, mode):
         assert a2[k] == pytest.approx(v, rel=1e-5, abs=1e-9), k
 
 
+def test_manifest_records_actual_trials(tmp_path):
+    """chans_per_batch rounds the realization count up — the resume
+    manifest must record the trials actually decoded, not the request."""
+    import json
+    import os
+    cfg = Config(Nt=16, Na=4, Nr=10, Lin=6, Lh=3, mode="segmented",
+                 alphabet="OOK", profile="uniform", trunc="tail",
+                 iterations=20)
+    sim = Simulator(cfg, algo="bamp", out_root=str(tmp_path),
+                    chans_per_batch=4)
+    # epochs=6, res=2 -> 3 realizations, rounded up to 4 -> 8 trials
+    assert sim.trials_per_point(6, 2) == 8
+    sim.simulate(epochs=6, res=2, start=20.0, final=20.0)
+    manifest = json.load(open(os.path.join(sim.path, "manifest.json")))
+    assert manifest["points"]["20.0"]["trials"] == 8
+    # two-phase runs exactly ceil(epochs/res) realizations
+    sim2 = Simulator(cfg, algo="bamp", out_root=str(tmp_path / "tp"),
+                     two_phase=5)
+    assert sim2.trials_per_point(6, 2) == 6
+
+
 def test_chans_per_batch_matches_single(tmp_path):
     """Vmapping C realizations per call must not change the statistics."""
     from amp_sparc_spatialmodulation_tpu.config import Config
