@@ -44,10 +44,28 @@ def _tree_sum(tree):
     return jax.tree_util.tree_map(lambda x: x.sum(axis=0), tree)
 
 
+def sum_realizations(realization, keys, snr):
+    """Sum metric pytrees of ``realization`` over a leading keys axis.
+
+    vmap is the default; when the realization runs the fused Pallas kernel
+    the loop is unrolled instead — ``pallas_call`` with input/output
+    aliasing doesn't batch reliably under vmap, and the realization count
+    per call is small.
+    """
+    if getattr(realization, "use_pallas", False):
+        sums = [realization(keys[i], snr) for i in range(keys.shape[0])]
+        total = sums[0]
+        for s in sums[1:]:
+            total = jax.tree_util.tree_map(jnp.add, total, s)
+        return total
+    return _tree_sum(jax.vmap(lambda k: realization(k, snr))(keys))
+
+
 def make_realization_fn(cfg: Config, algo: str, channel_kind: str, res: int,
                         precision=jax.lax.Precision.HIGHEST,
                         estimate_phi: bool = False,
-                        operator_form: str = "dense"):
+                        operator_form: str = "dense",
+                        use_pallas="auto"):
     """One Monte-Carlo channel realization with ``res`` batched trials.
 
     Returns ``fn(key, snr) -> metric sums`` — the jit/shard_map unit shared
@@ -63,6 +81,10 @@ def make_realization_fn(cfg: Config, algo: str, channel_kind: str, res: int,
     the dense matrix for its SVD.  ``'auto'`` (the default in
     :class:`Simulator`) picks banded whenever the algorithm and channel
     support it.
+
+    ``use_pallas`` threads the fused whole-iteration kernel into the BAMP
+    decode (never silently ignored: an explicit ``True`` raises where the
+    kernel cannot apply).
     """
     from ..ops import operators
 
@@ -74,6 +96,12 @@ def make_realization_fn(cfg: Config, algo: str, channel_kind: str, res: int,
             raise ValueError("VAMP requires the dense operator (SVD)")
         if channel_kind == "iid":
             raise ValueError("iid channels have no banded form")
+    if use_pallas is True:
+        if algo != "bamp":
+            raise ValueError("the fused Pallas iteration is BAMP-only")
+        if operator_form != "banded":
+            raise ValueError("use_pallas requires the banded operator form")
+    use_pallas = resolve_use_pallas(use_pallas, cfg, algo, operator_form)
 
     def one_realization(key, snr):
         k_chan, k_msg, k_noise = jax.random.split(key, 3)
@@ -99,7 +127,8 @@ def make_realization_fn(cfg: Config, algo: str, channel_kind: str, res: int,
             y = (jnp.matmul(msg.x, A.T, precision=precision)
                  + channel_ops.awgn(k_noise, cfg, snr, res))
         if algo == "bamp":
-            out = bamp.decode(A, y, sigma2, cfg, precision=precision)
+            out = bamp.decode(A, y, sigma2, cfg, precision=precision,
+                              use_pallas=use_pallas)
         elif algo == "vamp":
             out = vamp.decode(vamp.svd(A), y, sigma2, cfg,
                               precision=precision)
@@ -112,6 +141,9 @@ def make_realization_fn(cfg: Config, algo: str, channel_kind: str, res: int,
                                precision=precision)
         return metrics.evaluate_sums(out.xmap, out.xmmse, msg, out.T, cfg)
 
+    # Resolved knobs for callers (vmap-vs-unroll choice, sharded plumbing).
+    one_realization.use_pallas = use_pallas
+    one_realization.operator_form = operator_form
     return one_realization
 
 
@@ -341,12 +373,11 @@ class Simulator:
         one_realization = make_realization_fn(
             self.cfg, self.algo, self.channel_kind, res,
             precision=self.precision, estimate_phi=self.estimate_phi,
-            operator_form=self.operator_form)
+            operator_form=self.operator_form, use_pallas=self.use_pallas)
 
         @partial(jax.jit, static_argnames=())
         def step(keys, snr):
-            sums = jax.vmap(lambda k: one_realization(k, snr))(keys)
-            return _tree_sum(sums)
+            return sum_realizations(one_realization, keys, snr)
 
         return step
 

@@ -32,7 +32,8 @@ def make_sharded_step(cfg: Config, algo: str, channel_kind: str, res: int,
                       mesh: Mesh, chans_per_device: int = 1,
                       precision=lax.Precision.HIGHEST,
                       estimate_phi: bool = False,
-                      operator_form: str = "auto"):
+                      operator_form: str = "auto",
+                      use_pallas="auto"):
     """Build ``step(keys, snr) -> metric sums`` sharded over ``mesh``.
 
     ``keys`` has shape ``(trials_axis_size, chans_per_device, 2)`` — one key
@@ -40,19 +41,29 @@ def make_sharded_step(cfg: Config, algo: str, channel_kind: str, res: int,
     realizations of ``res`` trials each.  When the mesh has a non-trivial
     ``model`` axis (BAMP only), each realization is decoded tensor-parallel
     with the operator's columns sharded over it.
+
+    ``use_pallas`` applies per device on the data-parallel path (each
+    device runs the fused whole-iteration kernel on its own trial batch);
+    it does not compose with the model axis (the halo decode shards the
+    frame the kernel keeps whole), so explicit ``True`` with ``model>1``
+    raises.
     """
     tp = mesh.shape[MODEL_AXIS]
     if tp > 1 and algo != "bamp":
         raise NotImplementedError("model-axis sharding is built for bamp")
+    if tp > 1 and use_pallas is True:
+        raise ValueError("the fused Pallas kernel decodes whole frames; it "
+                         "does not compose with the model axis (use "
+                         "model=1 meshes for the fused kernel)")
 
     if tp == 1:
         realization = montecarlo.make_realization_fn(
             cfg, algo, channel_kind, res, precision=precision,
-            estimate_phi=estimate_phi, operator_form=operator_form)
+            estimate_phi=estimate_phi, operator_form=operator_form,
+            use_pallas=use_pallas)
 
         def device_fn(keys, snr):
-            sums = jax.vmap(lambda k: realization(k, snr))(keys[0])
-            sums = jax.tree_util.tree_map(lambda x: x.sum(axis=0), sums)
+            sums = montecarlo.sum_realizations(realization, keys[0], snr)
             return jax.tree_util.tree_map(
                 lambda x: lax.psum(x, TRIALS_AXIS), sums)
 
@@ -153,7 +164,8 @@ class ShardedSimulator(montecarlo.Simulator):
                                  chans_per_device=self.chans_per_batch,
                                  precision=self.precision,
                                  estimate_phi=self.estimate_phi,
-                                 operator_form=self.operator_form)
+                                 operator_form=self.operator_form,
+                                 use_pallas=self.use_pallas)
 
     def trials_per_point(self, epochs: int, res: int = 1) -> int:
         n_real = max(1, int(np.ceil(epochs / res)))

@@ -72,6 +72,43 @@ def test_fused_requires_banded():
         bamp.decode(op.densify(), y, s2, cfg, use_pallas=True)
 
 
+def test_use_pallas_honored_single_phase(tmp_path):
+    """Simulator(use_pallas=True, two_phase=None) must run the fused kernel
+    (interpret mode on CPU) — not silently fall back to XLA — and produce
+    the same statistics."""
+    from amp_sparc_spatialmodulation_tpu.models.montecarlo import Simulator
+    cfg = Config(Nt=16, Na=4, Nr=10, Lin=8, Lh=3, mode="segmented",
+                 alphabet="OOK", profile="uniform", trunc="tail",
+                 iterations=20)
+    s_x = Simulator(cfg, algo="bamp", out_root=str(tmp_path / "x"),
+                    use_pallas=False)
+    s_p = Simulator(cfg, algo="bamp", out_root=str(tmp_path / "p"),
+                    use_pallas=True)
+    a_x = s_x.run_point(8.0, epochs=64, res=32)
+    a_p = s_p.run_point(8.0, epochs=64, res=32)
+    for k, v in a_x.items():
+        assert a_p[k] == pytest.approx(v, rel=1e-4, abs=1e-6), k
+
+
+def test_use_pallas_never_silently_ignored():
+    """Explicit use_pallas=True raises wherever the kernel cannot apply."""
+    from amp_sparc_spatialmodulation_tpu.models import montecarlo
+    cfg = Config(Nt=16, Na=4, Nr=10, Lin=8, Lh=3, mode="segmented",
+                 alphabet="OOK", profile="uniform", trunc="tail",
+                 iterations=20)
+    with pytest.raises(ValueError):
+        montecarlo.make_realization_fn(cfg, "vamp", "sparc", 8,
+                                       use_pallas=True)
+    with pytest.raises(ValueError):
+        montecarlo.make_realization_fn(cfg, "bamp", "sparc", 8,
+                                       operator_form="dense",
+                                       use_pallas=True)
+    # 'auto' resolves off-TPU to False without raising
+    fn = montecarlo.make_realization_fn(cfg, "bamp", "sparc", 8,
+                                        operator_form="banded")
+    assert fn.use_pallas is False
+
+
 def test_pallas_tile_override_validation(monkeypatch):
     """PALLAS_TILE bypasses the VMEM budget (the experiment knob) but never
     the hard layout constraints, and it must announce itself."""

@@ -54,6 +54,34 @@ def test_dp_sharded_step_matches_serial(eight_devices):
         assert sharded[k] == pytest.approx(total[k], rel=1e-4, abs=1e-3), k
 
 
+def test_dp_sharded_step_use_pallas(eight_devices):
+    """The sharded DP path composes with the fused Pallas kernel (interpret
+    mode on CPU): same statistics as the serial XLA decode."""
+    cfg = _cfg(Lin=8, Lh=3)
+    res = 8
+    m = mesh_mod.make_mesh(trials=4, model=1, devices=eight_devices[:4])
+    step = psweep.make_sharded_step(cfg, "bamp", "sparc", res, m,
+                                    operator_form="banded",
+                                    use_pallas=True)
+    base = jax.random.PRNGKey(5)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+        jnp.arange(4)).reshape(4, 1, 2)
+    snr = jnp.asarray(7.0, jnp.float32)
+    sharded = {k: float(v) for k, v in step(keys, snr).items()}
+
+    fn = montecarlo.make_realization_fn(cfg, "bamp", "sparc", res,
+                                        operator_form="banded")
+    total = None
+    for i in range(4):
+        vals = {k: float(v) for k, v in fn(jax.random.fold_in(base, i),
+                                           snr).items()}
+        total = vals if total is None else {k: total[k] + vals[k]
+                                            for k in vals}
+    assert sharded["trials"] == total["trials"] == 4 * res
+    for k in sharded:
+        assert sharded[k] == pytest.approx(total[k], rel=1e-4, abs=1e-3), k
+
+
 def test_tp_decode_matches_dense(eight_devices):
     cfg = _cfg(Lin=4)
     B = 3
