@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 import time
 from functools import partial
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -165,11 +165,25 @@ def resolve_use_pallas(use_pallas, cfg: Config, algo: str,
     return bool(use_pallas)
 
 
-def make_two_phase_fns(cfg: Config, algo: str, channel_kind: str, res: int,
-                       k1: int, precision=jax.lax.Precision.HIGHEST,
-                       operator_form: str = "auto",
-                       estimate_phi: bool = False,
-                       use_pallas="auto"):
+class TwoPhaseCore(NamedTuple):
+    """Raw (unjitted) continuation-batching functions — the shared unit the
+    single-device wrapper (:func:`make_two_phase_fns`) jits directly and
+    the sharded wrapper (:func:`..parallel.sweep.make_sharded_two_phase_fns`)
+    wraps in ``shard_map``."""
+
+    phase1: Callable      # (key, snr) -> (msg, y, state)
+    phase2: Callable      # (key, y_sub, state_sub, snr) -> state_sub'
+    scatter_eval: Callable  # (state, sub_state, pad_idx, msg) -> sums
+    evaluate: Callable    # (state, msg) -> sums
+    use_pallas: bool
+    res: int
+
+
+def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
+                        k1: int, precision=jax.lax.Precision.HIGHEST,
+                        operator_form: str = "auto",
+                        estimate_phi: bool = False,
+                        use_pallas="auto") -> "TwoPhaseCore":
     """Continuation-batched realization (phase1 / phase2 / evaluate).
 
     A batched decode runs until its SLOWEST trial converges — at the
@@ -180,12 +194,6 @@ def make_two_phase_fns(cfg: Config, algo: str, channel_kind: str, res: int,
     and finishes it separately — the decode trajectory is bit-identical
     (resumable ``lax.while_loop`` state), only the batch shape changes.
     Works for every decoder (their states are all resumable pytrees).
-
-    Returns ``(phase1, phase2_for, scatter_eval, evaluate)``:
-      phase1(key, snr) -> (msg, y, state)
-      phase2_for(bucket)(key, y_sub, state_sub, snr) -> state_sub'
-      scatter_eval(state, sub_state, pad_idx, msg) -> metric sums
-      evaluate(state, msg) -> metric sums
     """
     from ..ops import operators
 
@@ -245,7 +253,6 @@ def make_two_phase_fns(cfg: Config, algo: str, channel_kind: str, res: int,
         stat = state.xmap if hasattr(state, "xmap") else state.r
         return stat, state.xmmse
 
-    @jax.jit
     def phase1(key, snr):
         k_chan, k_msg, k_noise = jax.random.split(key, 3)
         msg = message_ops.generate_message(k_msg, cfg, res)
@@ -266,22 +273,13 @@ def make_two_phase_fns(cfg: Config, algo: str, channel_kind: str, res: int,
         _, state = run_decode(ctx, y, sigma2, iter_cap=k1)
         return msg, y, state
 
-    _phase2_cache = {}
+    def phase2(key, y_sub, state_sub, snr):
+        k_chan, _, _ = jax.random.split(key, 3)
+        sigma2 = cfg.E / snr
+        ctx = make_ctx(k_chan)
+        _, s = run_decode(ctx, y_sub, sigma2, state0=state_sub)
+        return s
 
-    def phase2_for(bucket: int):
-        if bucket not in _phase2_cache:
-            @jax.jit
-            def phase2(key, y_sub, state_sub, snr):
-                k_chan, _, _ = jax.random.split(key, 3)
-                sigma2 = cfg.E / snr
-                ctx = make_ctx(k_chan)
-                _, s = run_decode(ctx, y_sub, sigma2, state0=state_sub)
-                return s
-
-            _phase2_cache[bucket] = phase2
-        return _phase2_cache[bucket]
-
-    @jax.jit
     def scatter_eval(state, sub_state, pad_idx, msg):
         def upd(full, sub):
             if (getattr(full, "ndim", 0) >= 1 and full.shape[0] == res
@@ -292,12 +290,36 @@ def make_two_phase_fns(cfg: Config, algo: str, channel_kind: str, res: int,
         stat, xmmse = views(merged)
         return metrics.evaluate_sums(stat, xmmse, msg, merged.T, cfg)
 
-    @jax.jit
     def evaluate(state, msg):
         stat, xmmse = views(state)
         return metrics.evaluate_sums(stat, xmmse, msg, state.T, cfg)
 
-    return phase1, phase2_for, scatter_eval, evaluate
+    return TwoPhaseCore(phase1=phase1, phase2=phase2,
+                        scatter_eval=scatter_eval, evaluate=evaluate,
+                        use_pallas=use_pallas, res=res)
+
+
+def make_two_phase_fns(cfg: Config, algo: str, channel_kind: str, res: int,
+                       k1: int, precision=jax.lax.Precision.HIGHEST,
+                       operator_form: str = "auto",
+                       estimate_phi: bool = False,
+                       use_pallas="auto"):
+    """Jitted single-device continuation batching.
+
+    Returns ``(phase1, phase2_for, scatter_eval, evaluate)``:
+      phase1(key, snr) -> (msg, y, state)
+      phase2_for(bucket)(key, y_sub, state_sub, snr) -> state_sub'
+      scatter_eval(state, sub_state, pad_idx, msg) -> metric sums
+      evaluate(state, msg) -> metric sums
+    """
+    core = make_two_phase_core(cfg, algo, channel_kind, res, k1,
+                               precision=precision,
+                               operator_form=operator_form,
+                               estimate_phi=estimate_phi,
+                               use_pallas=use_pallas)
+    phase2 = jax.jit(core.phase2)  # jit retraces per bucket shape
+    return (jax.jit(core.phase1), lambda bucket: phase2,
+            jax.jit(core.scatter_eval), jax.jit(core.evaluate))
 
 
 def run_two_phase_realization(fns, key, snr, min_bucket: int = 64):

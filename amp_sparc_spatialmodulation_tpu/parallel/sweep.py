@@ -141,21 +141,127 @@ def make_sharded_step(cfg: Config, algo: str, channel_kind: str, res: int,
     return jax.jit(sharded)
 
 
+def _tree_idx(tree, i):
+    return jax.tree_util.tree_map(lambda a: a[i], tree)
+
+
+def make_sharded_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
+                               res: int, k1: int, mesh: Mesh,
+                               chans_per_device: int = 1,
+                               precision=lax.Precision.HIGHEST,
+                               operator_form: str = "auto",
+                               estimate_phi: bool = False,
+                               use_pallas="auto"):
+    """Continuation batching over the ``trials`` mesh axis.
+
+    Phase 1 decodes ``chans_per_device`` realizations per device capped at
+    ``k1`` iterations; the host reads only the (small) per-trial ``active``
+    masks, builds one padded tail bucket per realization (a common bucket
+    size keeps the mesh program uniform), and phase 2 finishes every
+    device's own tail in place — no cross-device state movement, only the
+    final metric psum rides the ICI.  Per-realization trajectories are
+    bit-identical to the single-device :class:`..models.montecarlo`
+    two-phase path (same keys → same decode); only the float reduction
+    order of the metric sums differs.
+
+    Returns ``(phase1, phase23, eval_all)``:
+      phase1(keys, snr) -> (msg, y, state), leading dim D*C, sharded
+      phase23(keys, pad_idx, msg, y, state, snr) -> psum-reduced sums
+      eval_all(state, msg) -> psum-reduced sums (no-tail fast path)
+    """
+    core = montecarlo.make_two_phase_core(
+        cfg, algo, channel_kind, res, k1, precision=precision,
+        operator_form=operator_form, estimate_phi=estimate_phi,
+        use_pallas=use_pallas)
+    C = chans_per_device
+
+    def map_c(fn, *trees):
+        """vmap over the device-local realization axis — unrolled when the
+        fused Pallas kernel is on (pallas_call with aliasing doesn't batch
+        reliably under vmap)."""
+        if core.use_pallas:
+            outs = [fn(*(_tree_idx(t, i) for t in trees)) for i in range(C)]
+            return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+        return jax.vmap(fn)(*trees)
+
+    def p1_dev(keys, snr):
+        return map_c(lambda k: core.phase1(k, snr), keys[0])
+
+    def p23_dev(keys, pad_idx, msg, y, state, snr):
+        def one(k, pidx, msg_c, y_c, st_c):
+            sub = jax.tree_util.tree_map(
+                lambda a: a[pidx] if getattr(a, "ndim", 0) >= 1
+                and a.shape[0] == res else a, st_c)
+            s_fin = core.phase2(k, y_c[pidx], sub, snr)
+            return core.scatter_eval(st_c, s_fin, pidx, msg_c)
+
+        sums = map_c(one, keys[0], pad_idx, msg, y, state)
+        sums = jax.tree_util.tree_map(lambda x: x.sum(axis=0), sums)
+        return jax.tree_util.tree_map(
+            lambda x: lax.psum(x, TRIALS_AXIS), sums)
+
+    def eval_dev(state, msg):
+        sums = jax.vmap(core.evaluate)(state, msg)
+        sums = jax.tree_util.tree_map(lambda x: x.sum(axis=0), sums)
+        return jax.tree_util.tree_map(
+            lambda x: lax.psum(x, TRIALS_AXIS), sums)
+
+    T = TRIALS_AXIS
+    phase1 = jax.jit(jax.shard_map(
+        p1_dev, mesh=mesh, in_specs=(P(T), P()), out_specs=P(T),
+        check_vma=False))
+    phase23 = jax.jit(jax.shard_map(
+        p23_dev, mesh=mesh,
+        in_specs=(P(T), P(T), P(T), P(T), P(T), P()), out_specs=P(),
+        check_vma=False))
+    eval_all = jax.jit(jax.shard_map(
+        eval_dev, mesh=mesh, in_specs=(P(T), P(T)), out_specs=P(),
+        check_vma=False))
+    return phase1, phase23, eval_all
+
+
+def run_sharded_two_phase(fns, keys, snr, res: int, min_bucket: int = 64):
+    """Host orchestration of one sharded continuation-batched step.
+
+    ``keys`` is ``(D, C, 2)``; only the per-trial ``active`` booleans cross
+    to the host between phases."""
+    phase1, phase23, eval_all = fns
+    msg, y, state = phase1(keys, snr)
+    active = np.asarray(state.active)               # (D*C, res)
+    n_max = int(active.sum(axis=1).max())
+    if n_max == 0:
+        return eval_all(state, msg)
+    bucket = max(min_bucket, 1 << (n_max - 1).bit_length())
+    bucket = min(bucket, res)
+    pad_rows = []
+    for row in active:
+        idx = np.flatnonzero(row)
+        fill = idx[0] if len(idx) else 0
+        pad_rows.append(np.concatenate(
+            [idx, np.full(bucket - len(idx), fill, np.int64)]))
+    pad_idx = jnp.asarray(np.stack(pad_rows))
+    return phase23(keys, pad_idx, msg, y, state, snr)
+
+
 class ShardedSimulator(montecarlo.Simulator):
     """Drop-in :class:`Simulator` that shards realizations over a mesh.
 
     Weak-scaling knob: per SNR point each of the ``trials``-axis devices
     runs ``chans_per_batch`` realizations of ``res`` trials per call.
+    ``two_phase`` and ``use_pallas`` compose with the trials axis (each
+    device runs the fused kernel and finishes its own convergence tail);
+    the model axis supports neither (the halo decode shards the frame the
+    kernel and the tail compaction keep whole).
     """
 
     def __init__(self, cfg: Config, mesh: Optional[Mesh] = None, **kw):
         from .mesh import make_mesh
-        if kw.get("two_phase") is not None:
-            raise NotImplementedError(
-                "two_phase continuation batching needs host-side bucket "
-                "compaction and is not available under ShardedSimulator; "
-                "use the single-device Simulator or two_phase=None")
         self.mesh = mesh if mesh is not None else make_mesh()
+        if (kw.get("two_phase") is not None
+                and self.mesh.shape[MODEL_AXIS] > 1):
+            raise NotImplementedError(
+                "two_phase continuation batching composes with the trials "
+                "axis only; use a model=1 mesh")
         super().__init__(cfg, **kw)
 
     def _build_step(self, res: int):
@@ -179,7 +285,17 @@ class ShardedSimulator(montecarlo.Simulator):
         C = self.chans_per_batch
         snr_db = ebn0_db + 10 * np.log10(cfg.code_rate)
         snr = jnp.asarray(10 ** (snr_db / 10), jnp.float32)
-        step = self.step_fn(res)
+        if self.two_phase is not None:
+            if self._tp_fns is None or self._tp_fns[0] != res:
+                self._tp_fns = (res, make_sharded_two_phase_fns(
+                    cfg, self.algo, self.channel_kind, res, self.two_phase,
+                    self.mesh, chans_per_device=C, precision=self.precision,
+                    operator_form=self.operator_form,
+                    estimate_phi=self.estimate_phi,
+                    use_pallas=self.use_pallas))
+            step = None
+        else:
+            step = self.step_fn(res)
         n_real = max(1, int(np.ceil(epochs / res)))
         n_calls = int(np.ceil(n_real / (D * C)))
         base = jax.random.fold_in(jax.random.PRNGKey(self.seed), snr_idx)
@@ -188,5 +304,9 @@ class ShardedSimulator(montecarlo.Simulator):
             idx = jnp.arange(c * D * C, (c + 1) * D * C).reshape(D, C)
             keys = jax.vmap(jax.vmap(
                 lambda i: jax.random.fold_in(base, i)))(idx)
-            total = metrics.accumulate(total, step(keys, snr))
+            if step is None:
+                sums = run_sharded_two_phase(self._tp_fns[1], keys, snr, res)
+            else:
+                sums = step(keys, snr)
+            total = metrics.accumulate(total, sums)
         return metrics.finalize(total, cfg)

@@ -10,6 +10,7 @@ on CPU at 2000+ trials per point, exactly as was previously done for VAMP
 Run from /root/repo:  nohup python scripts/remeasure_reference_qpsk.py &
 """
 import json
+import os
 import sys
 import time
 
@@ -56,7 +57,15 @@ RES = 100  # reference fine sweeps regenerate the channel every 100 trials
 OUT = "/root/repo/reference_qpsk_golden.json"
 
 results = {}
-for ebn0 in (8.0, 9.0):
+if len(sys.argv) > 1:
+    POINTS = tuple(float(a) for a in sys.argv[1:])
+else:
+    POINTS = (8.0, 9.0)
+if os.path.exists(OUT):
+    results = json.load(open(OUT))["points"]
+for ebn0 in POINTS:
+    if str(ebn0) in results:
+        continue
     snr_db = ebn0 + 10 * np.log10(config.code_rate)
     snr = 10 ** (snr_db / 10)
     t0 = time.time()
@@ -77,7 +86,9 @@ for ebn0 in (8.0, 9.0):
                           if np.isscalar(v) or hasattr(v, "item")}
     print(f"EbN0={ebn0}: FER={loss.loss['fer']} BER={loss.loss['ber']} "
           f"T={loss.loss['T']}", flush=True)
-    loss.dump()
+    # Loss.dump() drops the 'T' key (`loss.py:348-349` resets to a bare
+    # dict) which breaks the next accumulate; reset the way export() does.
+    loss.loss = {"T": 0}
     with open(OUT, "w") as f:
         json.dump({"epochs": EPOCHS, "res": RES, "points": results}, f,
                   indent=1)

@@ -130,6 +130,39 @@ def test_tp_sharded_sweep_step(eight_devices):
     assert out["fer"] <= 2 * 4
 
 
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_sharded_two_phase_matches_simulator(eight_devices, tmp_path,
+                                             use_pallas):
+    """ShardedSimulator with two_phase (and the fused kernel) on must match
+    the single-device Simulator — same keys → same per-realization decode
+    trajectories; only the metric reduction order differs."""
+    cfg = _cfg(Lin=8, Lh=3, iterations=30)
+    m = mesh_mod.make_mesh(trials=4, model=1, devices=eight_devices[:4])
+    kw = dict(algo="bamp", two_phase=6, use_pallas=use_pallas)
+    s1 = montecarlo.Simulator(cfg, out_root=str(tmp_path / "a"), **kw)
+    s2 = psweep.ShardedSimulator(cfg, mesh=m, out_root=str(tmp_path / "b"),
+                                 **kw)
+    a1 = s1.run_point(7.0, epochs=128, res=16)
+    a2 = s2.run_point(7.0, epochs=128, res=16)
+    assert a1["T"] > 1.0  # the point actually iterates (tails exist)
+    for k, v in a1.items():
+        assert a2[k] == pytest.approx(v, rel=1e-6, abs=1e-9), k
+
+
+def test_sharded_two_phase_no_tail_fast_path(eight_devices, tmp_path):
+    """At high SNR every trial converges within k1 — the eval_all path."""
+    cfg = _cfg(Lin=8, Lh=3, iterations=30)
+    m = mesh_mod.make_mesh(trials=4, model=1, devices=eight_devices[:4])
+    s1 = montecarlo.Simulator(cfg, algo="bamp", two_phase=25,
+                              out_root=str(tmp_path / "a"))
+    s2 = psweep.ShardedSimulator(cfg, mesh=m, algo="bamp", two_phase=25,
+                                 out_root=str(tmp_path / "b"))
+    a1 = s1.run_point(18.0, epochs=64, res=16)
+    a2 = s2.run_point(18.0, epochs=64, res=16)
+    for k, v in a1.items():
+        assert a2[k] == pytest.approx(v, rel=1e-6, abs=1e-9), k
+
+
 def test_sharded_simulator_runs(eight_devices, tmp_path):
     cfg = _cfg()
     m = mesh_mod.make_mesh(trials=8, model=1, devices=eight_devices)
