@@ -132,6 +132,39 @@ def _fused_plane_loop(fused, s0: "BAMPState", y, sigma2, cap) -> "BAMPState":
         u=fused._from_y(s.u), active=s.active, T=s.T, t=s.t)
 
 
+def _fused_whole_decode(fused, s0: "BAMPState", y, sigma2, cap) -> "BAMPState":
+    """Run the entire decode as ONE pallas_call (in-kernel iteration loop).
+
+    One plane-layout conversion at entry and exit; per-trial T/active are
+    carried in-kernel, so the result state is exactly what the XLA
+    ``while_loop`` produces (and remains resumable for two-phase
+    continuation batching — ``cap`` enters as the remaining budget)."""
+    tx, ty = fused._to_x, fused._to_y
+    sigma2 = jnp.asarray(sigma2, jnp.float32)
+    cap_rem = jnp.maximum(jnp.asarray(cap, jnp.int32) - s0.t, 0)
+    act = s0.active.astype(jnp.float32)[:, None]
+    T0 = s0.T.astype(jnp.float32)[:, None]
+    out = fused.decode_call(
+        sigma2, cap_rem, act, T0,
+        tx(jnp.real(s0.xmap)), tx(jnp.imag(s0.xmap)),
+        tx(jnp.real(s0.xmmse)), tx(jnp.imag(s0.xmmse)), tx(s0.var),
+        ty(jnp.real(s0.z)), ty(jnp.imag(s0.z)), ty(s0.u),
+        ty(jnp.real(y)), ty(jnp.imag(y)))
+    xmap_re, xmap_im, xn_re, xn_im, varn, zr, zi, un, act_o, T_o = out
+    active = act_o[:, 0] > 0.0
+    T = T_o[:, 0].astype(jnp.int32)
+    # Global counter semantics of the XLA loop: ran to cap if any trial is
+    # still active, else stopped when the slowest trial froze.
+    t = jnp.maximum(s0.t, jnp.where(jnp.any(active),
+                                    jnp.asarray(cap, jnp.int32), T.max()))
+    cx = lambda re, im: lax.complex(fused._from_x(re), fused._from_x(im))
+    return BAMPState(
+        xmap=cx(xmap_re, xmap_im), xmmse=cx(xn_re, xn_im),
+        var=fused._from_x(varn),
+        z=lax.complex(fused._from_y(zr), fused._from_y(zi)),
+        u=fused._from_y(un), active=active, T=T, t=t)
+
+
 def make_denoiser(cfg: Config):
     """Denoiser selected statically from config (`bamp.py:43-46`).
 
@@ -196,27 +229,46 @@ def decode(H, y: jnp.ndarray, sigma2, cfg: Config,
     denoiser = make_denoiser(cfg)
 
     fused = None
+    whole = None
     if use_pallas:
-        from ..ops.pallas.fused_bamp import (FusedBandedIteration,
+        import os
+
+        from ..ops.pallas.fused_bamp import (FusedBandedDecode,
+                                             FusedBandedIteration,
                                              NoVmemTileError)
 
         if not isinstance(op, operators.BandedOperator):
             raise ValueError("use_pallas requires a BandedOperator")
-        # Whole-iteration fusion (linear maps + denoiser in one VMEM pass)
-        # applies to complex single-symbol segmented alphabets (OOK).
-        fuse_den = (cfg.mode in ("segmented", "sparc") and cfg.K == 1
-                    and cfg.is_complex and cfg.M > 0
-                    and (cfg.M & (cfg.M - 1)) == 0)
-        try:
-            fused = FusedBandedIteration(
-                op, B, interpret=jax.default_backend() != "tpu",
-                fuse_denoiser=fuse_den,
-                symbols=cfg.symbols if fuse_den else None,
-                M=cfg.M if fuse_den else 0)
-        except NoVmemTileError:
-            # Geometry doesn't fit a VMEM trial tile (e.g. the massive
-            # Nt=1344 config) — the XLA banded path covers it.
-            fused = None
+        interpret = jax.default_backend() != "tpu"
+        seg_ok = (cfg.mode in ("segmented", "sparc") and cfg.is_complex
+                  and cfg.M > 0)
+        # AMP_PALLAS_MODE=periter selects the one-kernel-per-iteration
+        # design (A/B experiments); default is the whole-decode kernel.
+        mode = os.environ.get("AMP_PALLAS_MODE", "whole")
+        if seg_ok and mode == "whole":
+            try:
+                whole = FusedBandedDecode(op, B, interpret=interpret,
+                                          symbols=cfg.symbols, M=cfg.M)
+            except NoVmemTileError:
+                whole = None
+        if whole is None:
+            # Per-iteration fusion: the in-kernel denoiser covers K=1
+            # power-of-two-M alphabets (OOK); other alphabets run the
+            # linear-only kernel... which measured 0.89x, so decode uses
+            # it only when the whole-iteration form applies.
+            fuse_den = (cfg.mode in ("segmented", "sparc") and cfg.K == 1
+                        and cfg.is_complex and cfg.M > 0
+                        and (cfg.M & (cfg.M - 1)) == 0)
+            try:
+                fused = FusedBandedIteration(
+                    op, B, interpret=interpret,
+                    fuse_denoiser=fuse_den,
+                    symbols=cfg.symbols if fuse_den else None,
+                    M=cfg.M if fuse_den else 0)
+            except NoVmemTileError:
+                # Geometry doesn't fit a VMEM trial tile (e.g. the massive
+                # Nt=1344 config) — the XLA banded path covers it.
+                fused = None
 
     sigma2 = jnp.asarray(sigma2, jnp.float32)
     if state0 is None:
@@ -234,6 +286,15 @@ def decode(H, y: jnp.ndarray, sigma2, cfg: Config,
 
     def cond(s: BAMPState):
         return jnp.logical_and(s.t < cap, jnp.any(s.active))
+
+    if whole is not None:
+        # Multi-iteration fusion: the entire while_loop runs inside ONE
+        # pallas_call, each trial tile exiting at its own slowest trial.
+        s = _fused_whole_decode(whole, state0, y, sigma2, cap)
+        result = DecodeResult(xmap=s.xmap, xmmse=s.xmmse, var=s.var, T=s.T)
+        if return_state:
+            return result, s
+        return result
 
     if fused is not None and fused.fuse_denoiser:
         # Plane-layout loop: state stays in the kernel's block-major split

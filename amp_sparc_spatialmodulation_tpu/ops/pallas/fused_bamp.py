@@ -212,6 +212,59 @@ def _segment_reduce_mats(Nt: int, M: int):
             (rows_t == cols_t).astype(jnp.float32))
 
 
+def _seg_suffix_max(t, *, Nt, M, pos):
+    """Per-segment max of a (rows, Nt) plane, broadcast back over each
+    segment, via the doubling suffix-max (lane rolls masked at segment
+    boundaries — exact for ANY segment size M) and indicator matmuls."""
+    dot = functools.partial(jnp.dot, **_DOT)
+    Sind, SindT = _segment_reduce_mats(Nt, M)
+    acc = t
+    j = 1
+    while j < M:
+        # left-roll by j == cyclic roll by Nt - j (shift must be >= 0)
+        rolled = pltpu.roll(acc, shift=Nt - j, axis=1)
+        acc = jnp.where(pos + j < M, jnp.maximum(acc, rolled), acc)
+        j *= 2
+    head = jnp.where(pos == 0, acc, 0.0)
+    return dot(dot(head, Sind), SindT)
+
+
+def _seg_denoiser(xr, xi, cov, *, Nt, M, sym_re, sym_im):
+    """General-K segmented softmax posterior on a (rows, Nt) plane
+    (`bamp.py:66-77`, tau = cov/2) with the decomposed variance
+    (`bamp.py:74-76`) — the in-kernel twin of
+    :func:`...denoise.segmented_posterior` (symbols unrolled statically;
+    K is small: 1 for OOK ... 8 for 8PSK)."""
+    dot = functools.partial(jnp.dot, **_DOT)
+    rows = xr.shape[0]
+    Sind, SindT = _segment_reduce_mats(Nt, M)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (rows, Nt), 1) % M
+    inv = 2.0 / cov
+    ts = [(xr * sr + xi * si) * inv for sr, si in zip(sym_re, sym_im)]
+    m_lane = ts[0]
+    for tk in ts[1:]:
+        m_lane = jnp.maximum(m_lane, tk)
+    segmax = _seg_suffix_max(m_lane, Nt=Nt, M=M, pos=pos)
+    etas = [jnp.exp(tk - segmax) for tk in ts]
+    lane_sum = etas[0]
+    for e in etas[1:]:
+        lane_sum = lane_sum + e
+    eta2 = dot(dot(lane_sum, Sind), SindT)        # per-segment totals >= 1
+    xm_re = sym_re[0] * etas[0]
+    xm_im = sym_im[0] * etas[0]
+    for sr, si, e in zip(sym_re[1:], sym_im[1:], etas[1:]):
+        xm_re = xm_re + sr * e
+        xm_im = xm_im + si * e
+    xm_re = xm_re / eta2
+    xm_im = xm_im / eta2
+    var0 = (xm_re * xm_re + xm_im * xm_im) * (1.0 - lane_sum / eta2)
+    vars_ = None
+    for sr, si, e in zip(sym_re, sym_im, etas):
+        d = (xm_re - sr) ** 2 + (xm_im - si) ** 2
+        vars_ = d * e if vars_ is None else vars_ + d * e
+    return xm_re, xm_im, var0 + vars_ / eta2
+
+
 def _k1_denoiser(xr, xi, cov, *, Nt, M, s0_re, s0_im):
     """K=1 segmented softmax posterior on a (rows, Nt) plane
     (`bamp.py:66-77`, tau = cov/2; var simplifies to |s0|^2 p (1-p))."""
@@ -284,6 +337,83 @@ def _iteration_fused_kernel(sigma2_ref, act_ref, xm_re_ref, xm_im_ref,
     zn_im_ref[:] = sel(my, zn_im, z_im).reshape(Lout, Bt, Nr)
     un_ref[:] = sel(my, un, u).reshape(Lout, Bt, Nr)
     notok_ref[:] = notok.reshape(Lin, Bt, 1)
+
+
+def _decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
+                   xmap_re_ref, xmap_im_ref, xm_re_ref, xm_im_ref, var_ref,
+                   z_re_ref, z_im_ref, u_ref, y_re_ref, y_im_ref,
+                   S_re_ref, S_im_ref, S_a2_ref,
+                   St_re_ref, St_im_ref, St_a2_ref, Gf_ref, G2f_ref,
+                   xmap_re_o, xmap_im_o, xn_re_o, xn_im_o, varn_o,
+                   zn_re_o, zn_im_o, un_o, act_o, T_o,
+                   *, Lin, Lout, Lh, Nt, Nr, Bt, trunc, M, sym_re, sym_im):
+    """The WHOLE BAMP decode for one trial tile in a single kernel: an
+    in-kernel ``while_loop`` runs complete iterations (linear maps +
+    segmented denoiser + per-trial freeze + convergence) with all state
+    resident in VMEM, exiting when every trial of the TILE converged or
+    ``cap`` iterations ran.  This removes the ~100us/iteration dispatch
+    chain of the one-kernel-per-iteration design AND replaces the global
+    batch-max trip count with the (smaller) per-tile max — each tile stops
+    at its own slowest trial (`bamp.py:136-141` semantics, per-trial ``T``
+    preserved exactly via the in-loop active mask).
+
+    ``cap`` is the REMAINING iteration budget (SMEM scalar, so one
+    compilation serves both two-phase phases at a given batch shape).
+    """
+    sigma2 = sigma2_ref[0]
+    cap = cap_ref[0]
+    y_re, y_im = _x2d(y_re_ref, Bt, Nr), _x2d(y_im_ref, Bt, Nr)
+    taps = (S_re_ref[:], S_im_ref[:], S_a2_ref[:],
+            St_re_ref[:], St_im_ref[:], St_a2_ref[:], Gf_ref[:], G2f_ref[:])
+    geom = dict(Lin=Lin, Lout=Lout, Lh=Lh, Nt=Nt, Nr=Nr, Bt=Bt, trunc=trunc)
+    init = (jnp.int32(0), act_ref[:], T_ref[:],
+            _x2d(xmap_re_ref, Bt, Nt), _x2d(xmap_im_ref, Bt, Nt),
+            _x2d(xm_re_ref, Bt, Nt), _x2d(xm_im_ref, Bt, Nt),
+            _x2d(var_ref, Bt, Nt),
+            _x2d(z_re_ref, Bt, Nr), _x2d(z_im_ref, Bt, Nr),
+            _x2d(u_ref, Bt, Nr))
+
+    def cond(c):
+        return jnp.logical_and(c[0] < cap, jnp.sum(c[1]) > 0.0)
+
+    def body(c):
+        t, act, T, xmap_re, xmap_im, xm_re, xm_im, var, z_re, z_im, u = c
+        xr, xi, cov, zn_re, zn_im, un = _linear_iteration(
+            sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
+            *taps, **geom)
+        dn_re, dn_im, varn = _seg_denoiser(xr, xi, cov, Nt=Nt, M=M,
+                                           sym_re=sym_re, sym_im=sym_im)
+        # per-trial torch.allclose(var_new, var_old) (`bamp.py:140`)
+        bad = (jnp.abs(varn - var)
+               > 1e-8 + 1e-5 * jnp.abs(var)).astype(jnp.float32)
+        nb = bad.sum(axis=1, keepdims=True)          # (Lin*Bt, 1)
+        notok = nb[:Bt]                              # fold the Lin blocks
+        for l in range(1, Lin):
+            notok = notok + nb[l * Bt:(l + 1) * Bt]  # (Bt, 1)
+        mx = jnp.concatenate([act] * Lin, axis=0)
+        my = jnp.concatenate([act] * Lout, axis=0)
+        sel = lambda m, new, old: jnp.where(m > 0.0, new, old)
+        return (t + 1,
+                act * (notok > 0.0).astype(jnp.float32),
+                T + act,
+                sel(mx, xr, xmap_re), sel(mx, xi, xmap_im),
+                sel(mx, dn_re, xm_re), sel(mx, dn_im, xm_im),
+                sel(mx, varn, var),
+                sel(my, zn_re, z_re), sel(my, zn_im, z_im),
+                sel(my, un, u))
+
+    c = jax.lax.while_loop(cond, body, init)
+    _, act, T, xmap_re, xmap_im, xm_re, xm_im, var, z_re, z_im, u = c
+    act_o[:] = act
+    T_o[:] = T
+    xmap_re_o[:] = xmap_re.reshape(Lin, Bt, Nt)
+    xmap_im_o[:] = xmap_im.reshape(Lin, Bt, Nt)
+    xn_re_o[:] = xm_re.reshape(Lin, Bt, Nt)
+    xn_im_o[:] = xm_im.reshape(Lin, Bt, Nt)
+    varn_o[:] = var.reshape(Lin, Bt, Nt)
+    zn_re_o[:] = z_re.reshape(Lout, Bt, Nr)
+    zn_im_o[:] = z_im.reshape(Lout, Bt, Nr)
+    un_o[:] = u.reshape(Lout, Bt, Nr)
 
 
 def _pick_tile(B: int, n_x: int, n_y: int, Lin: int, Lout: int,
@@ -397,39 +527,13 @@ def _call(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
       S_re, S_im, S_a2, S_re.T, S_im.T, S_a2.T, Gf, G2f)
 
 
-class FusedBandedIteration:
-    """Callable wrapping the fused kernels for a fixed banded operator.
+class _PlaneKernelBase:
+    """Shared plumbing of the plane-layout kernels: block-major layout
+    transforms and the resident tap/gain planes for a fixed banded
+    operator and trial tile."""
 
-    Built from an :class:`..operators.BandedOperator`; ``__call__`` maps
-    (B, ·)-major complex jnp state to the kernel's block-major split
-    planes, runs the kernel, and returns results in the decoder's layout.
-
-    With ``fuse_denoiser=False`` (general alphabets) it returns
-    ``(xmap, cov, z_new, u_new)`` — the linear part of the iteration, the
-    denoiser runs outside.  With ``fuse_denoiser=True`` (complex
-    single-symbol alphabets, M a power of two) it returns
-    ``(xmap, xmmse, var, z_new, u_new)`` — the WHOLE iteration fused.
-    """
-
-    def __init__(self, op, batch: int, interpret: bool = False,
-                 fuse_denoiser: bool = False, symbols=None, M: int = 0):
+    def _setup(self, op, tile: int):
         self.op = op
-        self.interpret = interpret
-        self.fuse_denoiser = fuse_denoiser
-        if fuse_denoiser:
-            if symbols is None or len(symbols) != 1:
-                raise ValueError("fused denoiser supports K=1 alphabets")
-            if M <= 0 or (M & (M - 1)):
-                raise ValueError("fused denoiser needs M a power of two")
-            s0 = complex(symbols[0])
-            self.denoise_args = (M, np.float32(s0.real), np.float32(s0.imag))
-        else:
-            self.denoise_args = None
-        n_x = 8 if fuse_denoiser else 6
-        tile = _pick_tile(batch, n_x, 9, op.Lin, op.Lout, op.Nt, op.Nr)
-        if tile == 0:
-            raise NoVmemTileError(
-                "no trial tile fits VMEM for this geometry")
         self.geom = (op.Lin, op.Lout, op.Lh, op.Nt, op.Nr, tile, op.trunc)
         self.S_re = jnp.real(op.h_stack)
         self.S_im = jnp.imag(op.h_stack)
@@ -456,6 +560,133 @@ class FusedBandedIteration:
 
     def _from_y(self, a):
         return a.transpose(1, 0, 2).reshape(a.shape[1], -1)
+
+
+class FusedBandedDecode(_PlaneKernelBase):
+    """One ``pallas_call`` per BAMP decode (multi-iteration fusion).
+
+    Wraps :func:`_decode_kernel`: the whole iteration loop — the four
+    banded linear maps, the general-K segmented denoiser, per-trial
+    freeze, convergence test and per-trial ``T`` bookkeeping — runs inside
+    the kernel with all state VMEM-resident, one grid program per trial
+    tile.  Each tile exits at its own slowest trial, so the trip count is
+    the per-tile max instead of the global batch max, and the
+    per-iteration kernel-dispatch overhead vanishes.  Covers every complex
+    segmented alphabet (OOK/QPSK/8PSK/...; symbols unrolled statically,
+    any segment size M).
+
+    Resumable: takes (act, T, cap_remaining) so two-phase continuation
+    batching composes — the trajectory is identical to the XLA path's
+    ``lax.while_loop`` (`/root/reference/bamp.py:136-141` semantics).
+    """
+
+    def __init__(self, op, batch: int, interpret: bool = False,
+                 symbols=None, M: int = 0):
+        if symbols is None or len(symbols) < 1:
+            raise ValueError("whole-decode kernel needs a symbol table")
+        if M <= 0:
+            raise ValueError("whole-decode kernel needs segment size M")
+        syms = [complex(s) for s in symbols]
+        self.sym_re = tuple(np.float32(s.real) for s in syms)
+        self.sym_im = tuple(np.float32(s.imag) for s in syms)
+        self.M = M
+        self.interpret = interpret
+        K = len(syms)
+        # 5 x-side blocked inputs + 5 aliased outputs, plus ~2K denoiser
+        # temporaries resident across the in-kernel loop.
+        tile = _pick_tile(batch, 10 + 2 * K, 9, op.Lin, op.Lout,
+                          op.Nt, op.Nr)
+        if tile == 0:
+            raise NoVmemTileError(
+                "no trial tile fits VMEM for this geometry")
+        self._setup(op, tile)
+
+    def decode_call(self, sigma2, cap, act, T,
+                    xmap_re, xmap_im, xm_re, xm_im, var,
+                    z_re, z_im, u, y_re, y_im):
+        """Run the full decode on block-major split planes.
+
+        ``cap`` is the remaining-iteration budget (traced scalar — one
+        compilation covers any cap at a given batch shape); ``act``/``T``
+        are (B, 1) float32 per-trial active mask / iteration counts.
+        Returns ``(xmap_re, xmap_im, xmmse_re, xmmse_im, var, z_re, z_im,
+        u, act, T)``; the eight state planes alias their input buffers.
+        """
+        Lin, Lout, Lh, Nt, Nr, tile, trunc = self.geom
+        B = act.shape[0]
+        grid = (B // tile,)
+        xspec = lambda: pl.BlockSpec((Lin, tile, Nt), lambda i: (0, i, 0),
+                                     memory_space=pltpu.VMEM)
+        yspec = lambda: pl.BlockSpec((Lout, tile, Nr), lambda i: (0, i, 0),
+                                     memory_space=pltpu.VMEM)
+        aspec = lambda: pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+        full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+        x_shape = jax.ShapeDtypeStruct((Lin, B, Nt), jnp.float32)
+        y_shape = jax.ShapeDtypeStruct((Lout, B, Nr), jnp.float32)
+        a_shape = jax.ShapeDtypeStruct((B, 1), jnp.float32)
+        kern = functools.partial(
+            _decode_kernel, Lin=Lin, Lout=Lout, Lh=Lh, Nt=Nt, Nr=Nr,
+            Bt=tile, trunc=trunc, M=self.M, sym_re=self.sym_re,
+            sym_im=self.sym_im)
+        # inputs: 0 sigma2, 1 cap, 2 act, 3 T, 4-8 x-planes, 9-11 z/u,
+        # 12-13 y, 14-21 taps/gains; outputs: 0-4 x-planes, 5-7 z/u,
+        # 8 act, 9 T
+        aliases = {4: 0, 5: 1, 6: 2, 7: 3, 8: 4, 9: 5, 10: 6, 11: 7,
+                   2: 8, 3: 9}
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[smem(), smem(), aspec(), aspec()]
+            + [xspec()] * 5 + [yspec()] * 5
+            + [full()] * 8,
+            out_specs=[xspec()] * 5 + [yspec()] * 3 + [aspec()] * 2,
+            out_shape=[x_shape] * 5 + [y_shape] * 3 + [a_shape] * 2,
+            input_output_aliases=aliases,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=self.interpret,
+        )(jnp.asarray(sigma2, jnp.float32).reshape(1),
+          jnp.asarray(cap, jnp.int32).reshape(1), act, T,
+          xmap_re, xmap_im, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
+          self.S_re, self.S_im, self.S_a2,
+          self.S_re.T, self.S_im.T, self.S_a2.T, self.Gf, self.G2f)
+
+
+class FusedBandedIteration(_PlaneKernelBase):
+    """Callable wrapping the fused kernels for a fixed banded operator.
+
+    Built from an :class:`..operators.BandedOperator`; ``__call__`` maps
+    (B, ·)-major complex jnp state to the kernel's block-major split
+    planes, runs the kernel, and returns results in the decoder's layout.
+
+    With ``fuse_denoiser=False`` (general alphabets) it returns
+    ``(xmap, cov, z_new, u_new)`` — the linear part of the iteration, the
+    denoiser runs outside.  With ``fuse_denoiser=True`` (complex
+    single-symbol alphabets, M a power of two) it returns
+    ``(xmap, xmmse, var, z_new, u_new)`` — the WHOLE iteration fused.
+    """
+
+    def __init__(self, op, batch: int, interpret: bool = False,
+                 fuse_denoiser: bool = False, symbols=None, M: int = 0):
+        self.interpret = interpret
+        self.fuse_denoiser = fuse_denoiser
+        if fuse_denoiser:
+            if symbols is None or len(symbols) != 1:
+                raise ValueError("fused denoiser supports K=1 alphabets")
+            if M <= 0 or (M & (M - 1)):
+                raise ValueError("fused denoiser needs M a power of two")
+            s0 = complex(symbols[0])
+            self.denoise_args = (M, np.float32(s0.real), np.float32(s0.imag))
+        else:
+            self.denoise_args = None
+        n_x = 8 if fuse_denoiser else 6
+        tile = _pick_tile(batch, n_x, 9, op.Lin, op.Lout, op.Nt, op.Nr)
+        if tile == 0:
+            raise NoVmemTileError(
+                "no trial tile fits VMEM for this geometry")
+        self._setup(op, tile)
 
     def plane_call(self, sigma2, xm_re, xm_im, var, z_re, z_im, u,
                    y_re, y_im, act=None):

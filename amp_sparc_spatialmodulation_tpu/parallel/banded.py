@@ -83,9 +83,10 @@ class HaloBandedOperator:
             raise ValueError(f"model axis size k={self.k} must divide "
                              f"Lin={cfg.Lin}")
         self.LinL = cfg.Lin // self.k
-        if self.Lh - 1 > self.LinL:
-            raise ValueError(f"halo Lh-1={self.Lh - 1} exceeds the local "
-                             f"block count {self.LinL}; use fewer shards")
+        # A contribution travels at most ceil((Lh-1)/LinL) shards; when the
+        # halo exceeds the local block count the exchange runs that many
+        # hops (each hop re-ships the still-unowned overflow one shard on).
+        self.hops = -(-(self.Lh - 1) // self.LinL) if self.Lh > 1 else 0
         self.R = self.LinL + self.Lh - 1
         self.trunc = cfg.trunc
         self.cyclic = cfg.trunc == "cyclic"
@@ -146,57 +147,119 @@ class HaloBandedOperator:
 
     # ---- halo exchanges ---------------------------------------------------
 
-    def exchange_forward(self, v: jnp.ndarray, hx: jnp.ndarray):
-        """Complete owned rows of ``|H|^2 @ var`` and ``H @ xmmse``.
-
-        Ships the ``Lh-1`` overflow-slot partials right, adds the left
-        neighbor's into slots ``[0, Lh-1)``, zeroes non-owned slots.
-        One ``ppermute`` of a stacked ``(B, Lh-1, 3*Nr)`` f32 buffer.
+    def _ship_right(self, planes):
+        """One multi-hop forward exchange of a list of (B, R, Nr) partial
+        planes: each hop ships the still-unowned overflow slots one shard
+        right (zeroing them locally — no double counting) and accumulates
+        the received contributions into slots ``[0, halo)``.  One
+        ``ppermute`` of the stacked real buffer per hop; ``hops =
+        ceil((Lh-1)/LinL)`` covers halos wider than the local block count.
         """
         halo = self.Lh - 1
-        if halo and (self.k > 1 or self.cyclic):
-            buf = jnp.concatenate(
-                [v[:, self.LinL:], hx[:, self.LinL:].real,
-                 hx[:, self.LinL:].imag], axis=-1)
-            recv = lax.ppermute(buf, self.axis_name,
-                                _right_perm(self.k, self.cyclic))
-            Nr = self.Nr
-            v = v.at[:, :halo].add(recv[..., :Nr])
-            hx = hx.at[:, :halo].add(
-                lax.complex(recv[..., Nr:2 * Nr], recv[..., 2 * Nr:])
-                if jnp.iscomplexobj(hx) else recv[..., Nr:2 * Nr])
+        if not halo or (self.k == 1 and not self.cyclic):
+            return planes
+        Nr = self.Nr
+        perm = _right_perm(self.k, self.cyclic)
+        reals = []
+        for p in planes:   # split complex planes into re/im lanes
+            if jnp.iscomplexobj(p):
+                reals.extend([p.real, p.imag])
+            else:
+                reals.append(p)
+        # Under 'tail' the LAST shard's overflow slots are its OWN rows
+        # (the ISI transient): it has no right neighbor (non-cyclic perm
+        # drops its send) and must keep them instead of zeroing.
+        keep_ov = (self.is_last if self.trunc == "tail" and not self.cyclic
+                   else jnp.zeros((), bool))
+        for _ in range(self.hops):
+            buf = jnp.concatenate([r[:, self.LinL:] for r in reals],
+                                  axis=-1)
+            reals = [r.at[:, self.LinL:].set(
+                jnp.where(keep_ov, r[:, self.LinL:], 0.0)) for r in reals]
+            recv = lax.ppermute(buf, self.axis_name, perm)
+            reals = [r.at[:, :halo].add(recv[..., i * Nr:(i + 1) * Nr])
+                     for i, r in enumerate(reals)]
+        out, i = [], 0
+        for p in planes:
+            if jnp.iscomplexobj(p):
+                out.append(lax.complex(reals[i], reals[i + 1]))
+                i += 2
+            else:
+                out.append(reals[i])
+                i += 1
+        return out
+
+    def _pull_right(self, planes):
+        """Multi-hop backward exchange: fill overflow slots ``[LinL, R)``
+        with the rows owned by the right neighbors (window improves every
+        hop when the halo spans several shards).  Planes must be zero
+        outside owned slots; under ``tail`` the last shard keeps its own
+        (owned) overflow rows; under ``trunc`` the overflow rows don't
+        exist and stay zero; under ``cyclic`` the pulls wrap."""
+        halo = self.Lh - 1
+        if not halo or (self.k == 1 and not self.cyclic):
+            return planes
+        Nr = self.Nr
+        perm = _left_perm(self.k, self.cyclic)
+        reals = []
+        for p in planes:
+            if jnp.iscomplexobj(p):
+                reals.extend([p.real, p.imag])
+            else:
+                reals.append(p)
+        keep = self.trunc == "tail"
+        for _ in range(self.hops):
+            buf = jnp.concatenate([r[:, :halo] for r in reals], axis=-1)
+            recv = lax.ppermute(buf, self.axis_name, perm)
+            nxt = []
+            for i, r in enumerate(reals):
+                win = recv[..., i * Nr:(i + 1) * Nr]
+                if keep:   # last shard's overflow rows are its own
+                    win = jnp.where(self.is_last, r[:, self.LinL:], win)
+                nxt.append(r.at[:, self.LinL:].set(win))
+            reals = nxt
+        out, i = [], 0
+        for p in planes:
+            if jnp.iscomplexobj(p):
+                out.append(lax.complex(reals[i], reals[i + 1]))
+                i += 2
+            else:
+                out.append(reals[i])
+                i += 1
+        return out
+
+    def exchange_forward(self, v: jnp.ndarray, hx: jnp.ndarray):
+        """Complete owned rows of ``|H|^2 @ var`` and ``H @ xmmse``
+        (stacked multi-hop ship; non-owned slots zeroed)."""
+        v, hx = self._ship_right([v, hx])
         m = self.owned[None, :, None]
         return jnp.where(m, v, 0.0), jnp.where(m, hx, 0.0)
 
     def exchange_backward(self, uinv: jnp.ndarray, rr: jnp.ndarray):
-        """Fill overflow slots with the right neighbor's first owned rows.
-
-        ``uinv``/``rr`` must be zero outside owned slots.  Under ``tail``
-        the last shard keeps its own (owned) overflow rows; under
-        ``trunc`` the overflow rows don't exist and stay zero; under
-        ``cyclic`` the exchange wraps.  One ``ppermute`` of a stacked
-        ``(B, Lh-1, 3*Nr)`` f32 buffer.
-        """
-        halo = self.Lh - 1
-        if not halo:
-            return uinv, rr
-        if self.k == 1 and not self.cyclic:
-            return uinv, rr
-        Nr = self.Nr
-        buf = jnp.concatenate(
-            [uinv[:, :halo], rr[:, :halo].real, rr[:, :halo].imag], axis=-1)
-        recv = lax.ppermute(buf, self.axis_name,
-                            _left_perm(self.k, self.cyclic))
-        ru = recv[..., :Nr]
-        rres = (lax.complex(recv[..., Nr:2 * Nr], recv[..., 2 * Nr:])
-                if jnp.iscomplexobj(rr) else recv[..., Nr:2 * Nr])
-        if self.trunc == "tail":
-            keep = self.is_last       # last shard's overflow rows are owned
-            ru = jnp.where(keep, uinv[:, self.LinL:], ru)
-            rres = jnp.where(keep, rr[:, self.LinL:], rres)
-        uinv = uinv.at[:, self.LinL:].set(ru)
-        rr = rr.at[:, self.LinL:].set(rres)
+        """Fill overflow slots with the right neighbors' owned rows of the
+        scaled residual and ``1/u`` (stacked multi-hop pull)."""
+        uinv, rr = self._pull_right([uinv, rr])
         return uinv, rr
+
+    # ---- single-plane halo maps (SCAMP needs only A@x and A^H r) ----------
+
+    def apply_halo(self, x: jnp.ndarray) -> jnp.ndarray:
+        """``A @ x`` on owned rows — multi-hop forward halo exchange of one
+        complex plane (`/root/reference/scamp.py:47` mat-vec)."""
+        hx = self._fwd_partial(x, self.h_stack.astype(x.dtype), self.g)
+        (hx,) = self._ship_right([hx])
+        return jnp.where(self.owned[None, :, None], hx, 0.0)
+
+    def adj_halo(self, rr: jnp.ndarray) -> jnp.ndarray:
+        """``A^H @ rr`` for local columns (`scamp.py:53` mat-vec).
+
+        ``rr`` must be zero outside owned slots; the backward multi-hop
+        exchange pulls the right neighbors' owned rows into the overflow
+        slots (the last shard keeps its own tail rows under ``tail``).
+        """
+        (rr,) = self._pull_right([rr])
+        return self._bwd_local(rr, jnp.conj(self.h_stack).T.astype(rr.dtype),
+                               self.g)
 
     # ---- the four decoder maps (shard-local results) ----------------------
 
@@ -354,3 +417,151 @@ def decode(h: jnp.ndarray, gains: jnp.ndarray, y_local: jnp.ndarray,
 def gather_columns(x_k: jnp.ndarray, axis_name: str = MODEL_AXIS):
     """All-gather column shards back to the full (B, N) array."""
     return lax.all_gather(x_k, axis_name, axis=1, tiled=True)
+
+
+# --------------------------------------------------------------------------
+# Halo-parallel SCAMP (`/root/reference/scamp.py:43-59` semantics).
+#
+# The base-matrix bookkeeping (psi/phi/gma/tau) is tiny — (B, Lin)/(B, Lout)
+# scalars per block — so it is computed REPLICATED on every shard from one
+# all_gather of the (B, LinL) local section variances per iteration
+# (O(B*Lin) floats on ICI).  Only the two big A mat-vecs are sharded, each
+# with one single-plane halo ppermute, exactly like the BAMP halo decode.
+# --------------------------------------------------------------------------
+
+
+class HaloScampState(NamedTuple):
+    xmap: jnp.ndarray    # (B, LinL*Nt) complex, column-local
+    xmmse: jnp.ndarray   # (B, LinL*Nt) complex
+    psi: jnp.ndarray     # (B, LinL) f32 local section variances
+    phi: jnp.ndarray     # (B, Lout) f32 residual variances, REPLICATED
+    z: jnp.ndarray       # (B, R, Nr) complex, owned rows (pads zero)
+    active: jnp.ndarray  # (B,) bool
+    alive: jnp.ndarray   # () bool
+    T: jnp.ndarray       # (B,) int32
+    t: jnp.ndarray
+
+
+def _row_blocks_local(v_full: jnp.ndarray, cfg: Config, LinL: int,
+                      axis_name: str = MODEL_AXIS) -> jnp.ndarray:
+    """Local (B, R) row-block scalars of a replicated (B, Lout) array
+    (block-scalar analog of :func:`shard_rows`)."""
+    R = LinL + cfg.Lh - 1
+    pad = cfg.Lin + cfg.Lh - 1 - cfg.Lout
+    if pad:
+        v_full = jnp.pad(v_full, ((0, 0), (0, pad)))
+    return lax.dynamic_slice_in_dim(v_full, lax.axis_index(axis_name) * LinL,
+                                    R, axis=1)
+
+
+def scamp_decode(h: jnp.ndarray, gains: jnp.ndarray, W: jnp.ndarray,
+                 y_local: jnp.ndarray, sigma2, cfg: Config, *,
+                 estimate_phi: bool = False,
+                 axis_name: str = MODEL_AXIS, sync_axes=None,
+                 precision=lax.Precision.HIGHEST):
+    """Sequence-parallel SCAMP, frame sharded over ``axis_name``.
+
+    Must run inside ``shard_map``.  Args as :func:`decode`, plus the
+    replicated base matrix ``W (Lout, Lin)``.  Matches the single-device
+    :func:`..models.scamp.decode` trajectory exactly (same matmul shapes
+    per column block, same per-trial T).
+
+    ``estimate_phi`` enables the empirical residual variance of the
+    reference's ``estSCAMP`` (`sparc.py:199`): per-block means of
+    ``|z|^2``, psum-assembled across shards.
+    """
+    from ..ops import denoise
+
+    if sync_axes is None:
+        sync_axes = (axis_name,)
+    op = HaloBandedOperator(h, gains, cfg, axis_name=axis_name,
+                            precision=precision)
+    B = y_local.shape[0]
+    k = op.k
+    LinL, R, Nr = op.LinL, op.R, op.Nr
+    N_local = LinL * op.Nt
+    cdtype = y_local.dtype
+    Lc, Mc, Mr, L = cfg.Lc, cfg.Mc, cfg.Mr, cfg.L
+    mm = partial(jnp.matmul, precision=precision)
+    denoiser = partial(denoise.segmented_posterior,
+                       symbols=jnp.asarray(cfg.symbols),
+                       L=cfg.Na * LinL, M=cfg.M,
+                       halve_tau=cfg.is_complex, variance=None)
+    W = jnp.asarray(W, jnp.float32)
+    Wt = W.T
+    sigma2 = jnp.asarray(sigma2, jnp.float32)
+    mask_y = op.owned[None, :, None]       # (1, R, 1)
+    mask_row = op.owned[None, :]           # (1, R)
+    y = jnp.where(mask_y, y_local, 0.0)
+    d = lax.axis_index(axis_name)
+
+    state0 = HaloScampState(
+        xmap=jnp.zeros((B, N_local), cdtype),
+        xmmse=jnp.zeros((B, N_local), cdtype),
+        psi=jnp.ones((B, LinL), jnp.float32),
+        phi=jnp.full((B, cfg.Lout), jnp.inf, jnp.float32),
+        z=y,
+        active=jnp.ones((B,), bool),
+        alive=jnp.ones((), bool),
+        T=jnp.zeros((B,), jnp.int32),
+        t=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s: HaloScampState):
+        return jnp.logical_and(s.t < cfg.N_Layers, s.alive)
+
+    def body(s: HaloScampState) -> HaloScampState:
+        psi_full = lax.all_gather(s.psi, axis_name, axis=1, tiled=True)
+        gma_full = mm(psi_full, Wt) / Lc                     # (B, Lout)
+        b_loc = _row_blocks_local(gma_full / s.phi, cfg, LinL, axis_name)
+        hx = op.apply_halo(s.xmmse)                          # (B, R, Nr)
+        z = jnp.where(mask_y,
+                      y - hx + b_loc[:, :, None].astype(cdtype) * s.z, 0.0)
+        if estimate_phi:
+            # `sparc.py:199`: per-output-block mean |z|^2, assembled
+            # replicated from each shard's owned blocks.
+            m_loc = (jnp.abs(z) ** 2).mean(axis=-1)          # (B, R)
+            m_own = m_loc[:, :LinL]
+            m_full = lax.all_gather(m_own, axis_name, axis=1, tiled=True)
+            if cfg.trunc == "tail":
+                tail = jnp.where(op.is_last, m_loc[:, LinL:], 0.0)
+                m_full = jnp.concatenate(
+                    [m_full, lax.psum(tail, axis_name)], axis=1)
+            phi_full = m_full                                # (B, Lout)
+        else:
+            phi_full = sigma2 + gma_full                     # `scamp.py:50`
+        tau_full = L / mm(1.0 / phi_full, W) / Mr            # (B, Lc)
+        tau_loc = lax.dynamic_slice_in_dim(tau_full, d * LinL, LinL, axis=1)
+        tau_use = _expand_cols(tau_loc, Mc)                  # (B, N_local)
+        phi_loc = _row_blocks_local(phi_full, cfg, LinL, axis_name)
+        phi_safe = jnp.where(mask_row, phi_loc, 1.0)
+        rr = jnp.where(mask_y, (z / phi_safe[:, :, None]).astype(cdtype),
+                       0.0)
+        xmap = s.xmmse + tau_use * op.adj_halo(rr)
+        xmmse, _ = denoiser(xmap, tau_use)
+        psi = 1.0 - (jnp.abs(xmmse) ** 2).reshape(B, LinL, Mc).sum(-1) / cfg.Na
+
+        local_ok = _allclose_rows(psi, s.psi)
+        converged = lax.psum(local_ok.astype(jnp.int32), axis_name) == k
+        active = s.active & ~converged
+        alive = lax.psum(jnp.any(active).astype(jnp.int32), sync_axes) > 0
+        return HaloScampState(
+            xmap=_freeze(s.active, xmap, s.xmap),
+            xmmse=_freeze(s.active, xmmse, s.xmmse),
+            psi=_freeze(s.active, psi, s.psi),
+            phi=_freeze(s.active, phi_full, s.phi),
+            z=jnp.where(s.active[:, None, None], z, s.z),
+            active=active,
+            alive=alive,
+            T=jnp.where(s.active, s.t + 1, s.T),
+            t=s.t + 1,
+        )
+
+    s = lax.while_loop(cond, body, state0)
+    return s.xmap, s.xmmse, 1.0 - s.psi, s.T
+
+
+def _expand_cols(v: jnp.ndarray, reps: int) -> jnp.ndarray:
+    """``repeat_interleave`` along the last axis (`scamp.py:48,53-54`)."""
+    B, L = v.shape
+    return jnp.broadcast_to(v[:, :, None], (B, L, reps)).reshape(B, L * reps)

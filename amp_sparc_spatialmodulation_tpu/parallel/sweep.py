@@ -49,8 +49,12 @@ def make_sharded_step(cfg: Config, algo: str, channel_kind: str, res: int,
     raises.
     """
     tp = mesh.shape[MODEL_AXIS]
-    if tp > 1 and algo != "bamp":
-        raise NotImplementedError("model-axis sharding is built for bamp")
+    if tp > 1 and algo not in ("bamp", "scamp"):
+        raise NotImplementedError(
+            "model-axis sharding covers bamp (banded/dense) and scamp "
+            "(banded); VAMP needs the dense SVD on one device")
+    if tp > 1 and algo == "scamp" and channel_kind != "sparc":
+        raise ValueError("scamp requires the sparc channel")
     if tp > 1 and use_pallas is True:
         raise ValueError("the fused Pallas kernel decodes whole frames; it "
                          "does not compose with the model axis (use "
@@ -81,6 +85,8 @@ def make_sharded_step(cfg: Config, algo: str, channel_kind: str, res: int,
         operator_form = "banded" if channel_kind != "iid" else "dense"
     if operator_form == "banded" and channel_kind == "iid":
         raise ValueError("iid channels have no banded form")
+    if algo == "scamp" and operator_form != "banded":
+        raise ValueError("model-parallel scamp needs the banded operator")
 
     def tp_realization(key, snr):
         k_chan, k_msg, k_noise = jax.random.split(key, 3)
@@ -90,7 +96,21 @@ def make_sharded_step(cfg: Config, algo: str, channel_kind: str, res: int,
         # columns.
         msg = message_ops.generate_message(k_msg, cfg, res)
         noise = channel_ops.awgn(k_noise, cfg, snr, res)
-        if operator_form == "banded":
+        if algo == "scamp":
+            W_np = channel_ops.base_matrix(cfg)
+            h = channel_ops.sample_sparc_taps(k_chan, cfg)
+            gains = jnp.asarray(operators.sparc_gains(cfg, W_np))
+            x_k = banded.shard_columns(msg.x, cfg)
+            op = banded.HaloBandedOperator(h, gains, cfg,
+                                           precision=precision)
+            y_local = op.apply_halo(x_k) + banded.shard_rows(noise, cfg)
+            xmap_k, xmmse_k, _, T = banded.scamp_decode(
+                h, gains, jnp.asarray(W_np), y_local, sigma2, cfg,
+                estimate_phi=estimate_phi,
+                sync_axes=(TRIALS_AXIS, MODEL_AXIS), precision=precision)
+            xmap = banded.gather_columns(xmap_k)
+            xmmse = banded.gather_columns(xmmse_k)
+        elif operator_form == "banded":
             if channel_kind == "sparc":
                 W = channel_ops.base_matrix(cfg)
                 h = channel_ops.sample_sparc_taps(k_chan, cfg)

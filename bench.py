@@ -110,10 +110,40 @@ def main():
     log(f"platform={jax.default_backend()} devices={jax.devices()}")
     form = os.environ.get("BENCH_OPERATOR", "banded")
     two_phase = int(os.environ.get("BENCH_TWO_PHASE", "16"))
-    if two_phase > 0:
-        pallas_env = os.environ.get("BENCH_PALLAS", "auto")
-        use_pallas = ("auto" if pallas_env == "auto"
-                      else pallas_env not in ("0", "false"))
+    pallas_env = os.environ.get("BENCH_PALLAS", "auto")
+    use_pallas = ("auto" if pallas_env == "auto"
+                  else pallas_env not in ("0", "false"))
+    if os.environ.get("BENCH_SHARD"):
+        # Sharded mode: the same point over ALL local devices (weak
+        # scaling switch for the day real multi-chip hardware appears; on
+        # one chip it must reproduce the single-chip number within noise).
+        from amp_sparc_spatialmodulation_tpu.parallel import (
+            mesh as mesh_mod, sweep as psweep)
+        D = len(jax.devices())
+        m = mesh_mod.make_mesh(trials=D, model=1)
+        log(f"BENCH_SHARD: mesh trials={D}")
+
+        def dev_keys(key):
+            return jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                jnp.arange(D)).reshape(D, 1, 2)
+
+        if two_phase > 0:
+            fns = psweep.make_sharded_two_phase_fns(
+                cfg, "bamp", "sparc", res, two_phase, m,
+                chans_per_device=1, operator_form=form,
+                use_pallas=use_pallas)
+
+            def step(key, snr):
+                return psweep.run_sharded_two_phase(fns, dev_keys(key),
+                                                    snr, res)
+        else:
+            sstep = psweep.make_sharded_step(cfg, "bamp", "sparc", res, m,
+                                             operator_form=form,
+                                             use_pallas=use_pallas)
+
+            def step(key, snr):
+                return sstep(dev_keys(key), snr)
+    elif two_phase > 0:
         fns = montecarlo.make_two_phase_fns(cfg, "bamp", "sparc", res,
                                             two_phase, operator_form=form,
                                             use_pallas=use_pallas)
@@ -122,7 +152,8 @@ def main():
             return montecarlo.run_two_phase_realization(fns, key, snr)
     else:
         fn = montecarlo.make_realization_fn(cfg, "bamp", "sparc", res,
-                                            operator_form=form)
+                                            operator_form=form,
+                                            use_pallas=use_pallas)
         step = jax.jit(fn)
 
     base = jax.random.PRNGKey(0)

@@ -72,6 +72,51 @@ def test_fused_requires_banded():
         bamp.decode(op.densify(), y, s2, cfg, use_pallas=True)
 
 
+def test_whole_decode_8psk_matches_xla():
+    """K=8 alphabets run through the whole-decode kernel's general
+    segmented denoiser."""
+    cfg, op, y, s2 = _setup(alphabet="8PSK", snr_exp=1.6, iterations=10)
+    assert cfg.K == 8
+    r_x = bamp.decode(op, y, s2, cfg)
+    r_p = bamp.decode(op, y, s2, cfg, use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(r_x.T), np.asarray(r_p.T))
+    assert float(jnp.max(jnp.abs(r_x.xmmse - r_p.xmmse))) < 1e-4
+    assert float(jnp.max(jnp.abs(r_x.var - r_p.var))) < 1e-4
+
+
+def test_whole_decode_non_pow2_segment():
+    """The doubling suffix-max is exact for ANY segment size M (boundary
+    masks), not just powers of two."""
+    cfg = Config(Nt=24, Na=4, Nr=8, Lin=8, Lh=3, mode="segmented",
+                 alphabet="OOK", profile="uniform", trunc="tail",
+                 iterations=10)
+    assert cfg.M == 6
+    key = jax.random.PRNGKey(2)
+    k1, k2, k3 = jax.random.split(key, 3)
+    W, op = operators.banded_sparc(k1, cfg)
+    msg = message.generate_message(k2, cfg, 8)
+    snr = 10 ** 1.3
+    y = op.apply(msg.x) + channel.awgn(k3, cfg, snr, 8)
+    s2 = cfg.sigma2(snr)
+    r_x = bamp.decode(op, y, s2, cfg)
+    r_p = bamp.decode(op, y, s2, cfg, use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(r_x.T), np.asarray(r_p.T))
+    assert float(jnp.max(jnp.abs(r_x.xmmse - r_p.xmmse))) < 1e-4
+
+
+def test_whole_decode_resumable():
+    """Splitting a fused decode at any cap and resuming yields the same
+    trajectory (the contract two-phase continuation batching relies on)."""
+    cfg, op, y, s2 = _setup(alphabet="OOK", snr_exp=1.2, iterations=12)
+    full = bamp.decode(op, y, s2, cfg, use_pallas=True)
+    _, st = bamp.decode(op, y, s2, cfg, use_pallas=True, iter_cap=3,
+                        return_state=True)
+    resumed = bamp.decode(op, y, s2, cfg, use_pallas=True, state0=st)
+    np.testing.assert_array_equal(np.asarray(full.T), np.asarray(resumed.T))
+    assert float(jnp.max(jnp.abs(full.xmmse - resumed.xmmse))) < 1e-5
+    assert float(jnp.max(jnp.abs(full.var - resumed.var))) < 1e-5
+
+
 def test_use_pallas_honored_single_phase(tmp_path):
     """Simulator(use_pallas=True, two_phase=None) must run the fused kernel
     (interpret mode on CPU) — not silently fall back to XLA — and produce
