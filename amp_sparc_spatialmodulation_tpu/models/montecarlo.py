@@ -101,7 +101,8 @@ def make_realization_fn(cfg: Config, algo: str, channel_kind: str, res: int,
             raise ValueError("the fused Pallas iteration is BAMP-only")
         if operator_form != "banded":
             raise ValueError("use_pallas requires the banded operator form")
-    use_pallas = resolve_use_pallas(use_pallas, cfg, algo, operator_form)
+    use_pallas = resolve_use_pallas(use_pallas, cfg, algo, operator_form,
+                                    batch=res)
 
     def one_realization(key, snr):
         k_chan, k_msg, k_noise = jax.random.split(key, 3)
@@ -148,20 +149,25 @@ def make_realization_fn(cfg: Config, algo: str, channel_kind: str, res: int,
 
 
 def resolve_use_pallas(use_pallas, cfg: Config, algo: str,
-                       operator_form: str) -> bool:
-    """'auto' enables the fused Pallas iteration exactly where it is the
-    measured win: the WHOLE-iteration fusion (linear maps + K=1 segmented
-    denoiser in one VMEM pass) for BAMP on a banded operator on real TPU
-    hardware — 1.49x the XLA path at the flagship config.  The
-    linear-only kernel (K>1 alphabets) measured 0.89x, so 'auto' leaves
-    those on XLA; decode additionally falls back per-geometry when no
-    trial tile fits VMEM."""
+                       operator_form: str, batch: int | None = None) -> bool:
+    """'auto' enables the fused Pallas decode exactly where it is the
+    measured win: BAMP on a banded operator on real TPU hardware with a
+    complex segmented alphabet — the whole-decode kernel (in-kernel
+    iteration loop + general-K segmented denoiser) measured 1.08x the
+    round-2 per-iteration kernel on the flagship OOK point and **2.54x**
+    the XLA path on the BAMPfinal QPSK (K=4) point.  With ``batch`` given,
+    the VMEM trial-tile fit is checked so 'auto' is exact (the massive
+    Nt=1344 geometry cannot tile and stays on the XLA banded path)."""
     if use_pallas == "auto":
-        return (algo == "bamp" and operator_form == "banded"
-                and jax.default_backend() == "tpu"
-                and cfg.mode in ("segmented", "sparc") and cfg.K == 1
-                and cfg.is_complex and cfg.M > 0
-                and (cfg.M & (cfg.M - 1)) == 0)
+        ok = (algo == "bamp" and operator_form == "banded"
+              and jax.default_backend() == "tpu"
+              and cfg.mode in ("segmented", "sparc")
+              and cfg.is_complex and cfg.M > 0)
+        if ok and batch is not None:
+            from ..ops.pallas.fused_bamp import _pick_tile
+            ok = _pick_tile(batch, 10 + 2 * cfg.K, 9, cfg.Lin, cfg.Lout,
+                            cfg.Nt, cfg.Nr) > 0
+        return ok
     return bool(use_pallas)
 
 
@@ -209,7 +215,8 @@ def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
         raise ValueError("scamp requires the sparc channel")
     if use_pallas is True and algo != "bamp":
         raise ValueError("the fused Pallas iteration is BAMP-only")
-    use_pallas = resolve_use_pallas(use_pallas, cfg, algo, operator_form)
+    use_pallas = resolve_use_pallas(use_pallas, cfg, algo, operator_form,
+                                    batch=res)
 
     def make_ctx(k_chan):
         """Rebuild the (deterministic given key) per-realization operator

@@ -67,6 +67,11 @@ def make_sharded_step(cfg: Config, algo: str, channel_kind: str, res: int,
             use_pallas=use_pallas)
 
         def device_fn(keys, snr):
+            if keys.shape[1] != chans_per_device:  # trace-time shape check
+                raise ValueError(
+                    f"keys carry {keys.shape[1]} realizations per device, "
+                    f"step was built with chans_per_device="
+                    f"{chans_per_device}")
             sums = montecarlo.sum_realizations(realization, keys[0], snr)
             return jax.tree_util.tree_map(
                 lambda x: lax.psum(x, TRIALS_AXIS), sums)
@@ -205,6 +210,10 @@ def make_sharded_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
         return jax.vmap(fn)(*trees)
 
     def p1_dev(keys, snr):
+        if keys.shape[1] != C:  # trace-time shape check
+            raise ValueError(
+                f"keys carry {keys.shape[1]} realizations per device, "
+                f"fns were built with chans_per_device={C}")
         return map_c(lambda k: core.phase1(k, snr), keys[0])
 
     def p23_dev(keys, pad_idx, msg, y, state, snr):
