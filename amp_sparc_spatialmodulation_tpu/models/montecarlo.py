@@ -97,8 +97,9 @@ def make_realization_fn(cfg: Config, algo: str, channel_kind: str, res: int,
         if channel_kind == "iid":
             raise ValueError("iid channels have no banded form")
     if use_pallas is True:
-        if algo != "bamp":
-            raise ValueError("the fused Pallas iteration is BAMP-only")
+        if algo not in ("bamp", "scamp"):
+            raise ValueError(
+                "the fused Pallas decode covers bamp and scamp")
         if operator_form != "banded":
             raise ValueError("use_pallas requires the banded operator form")
     use_pallas = resolve_use_pallas(use_pallas, cfg, algo, operator_form,
@@ -139,6 +140,7 @@ def make_realization_fn(cfg: Config, algo: str, channel_kind: str, res: int,
         else:
             out = scamp.decode(W, A, y, sigma2, cfg,
                                estimate_phi=estimate_phi,
+                               use_pallas=use_pallas,
                                precision=precision)
         return metrics.evaluate_sums(out.xmap, out.xmmse, msg, out.T, cfg)
 
@@ -213,8 +215,8 @@ def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
             raise ValueError("iid channels have no banded form")
     if algo == "scamp" and channel_kind != "sparc":
         raise ValueError("scamp requires the sparc channel")
-    if use_pallas is True and algo != "bamp":
-        raise ValueError("the fused Pallas iteration is BAMP-only")
+    if use_pallas is True and algo not in ("bamp", "scamp"):
+        raise ValueError("the fused Pallas decode covers bamp and scamp")
     use_pallas = resolve_use_pallas(use_pallas, cfg, algo, operator_form,
                                     batch=res)
 
@@ -248,7 +250,8 @@ def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
                                **kw)
         if algo == "scamp":
             return scamp.decode(W, A, y, sigma2, cfg,
-                                estimate_phi=estimate_phi, **kw)
+                                estimate_phi=estimate_phi,
+                                use_pallas=use_pallas, **kw)
         if algo == "vamp":
             return vamp.decode(A, y, sigma2, cfg, **kw)
         return vamp2.decode(A, y, sigma2, cfg, **kw)

@@ -50,8 +50,38 @@ def _expand(v: jnp.ndarray, reps: int) -> jnp.ndarray:
     return jnp.broadcast_to(v[:, :, None], (B, L, reps)).reshape(B, L * reps)
 
 
+def _fused_whole_decode(fused, s0: "SCAMPState", y, sigma2,
+                        cap) -> "SCAMPState":
+    """Run the entire SCAMP decode as ONE pallas_call (in-kernel iteration
+    loop, per-tile early exit; see :mod:`..ops.pallas.fused_scamp`)."""
+    tx, ty = fused._to_x, fused._to_y
+    sigma2 = jnp.asarray(sigma2, jnp.float32)
+    cap_rem = jnp.maximum(jnp.asarray(cap, jnp.int32) - s0.t, 0)
+    act = s0.active.astype(jnp.float32)[:, None]
+    T0 = s0.T.astype(jnp.float32)[:, None]
+    out = fused.decode_call(
+        sigma2, cap_rem, act, T0,
+        tx(jnp.real(s0.xmap)), tx(jnp.imag(s0.xmap)),
+        tx(jnp.real(s0.xmmse)), tx(jnp.imag(s0.xmmse)),
+        s0.psi, s0.phi,
+        ty(jnp.real(s0.z)), ty(jnp.imag(s0.z)),
+        ty(jnp.real(y)), ty(jnp.imag(y)))
+    xmap_re, xmap_im, xn_re, xn_im, psi, phi, zr, zi, act_o, T_o = out
+    active = act_o[:, 0] > 0.0
+    T = T_o[:, 0].astype(jnp.int32)
+    t = jnp.maximum(s0.t, jnp.where(jnp.any(active),
+                                    jnp.asarray(cap, jnp.int32), T.max()))
+    cx = lambda re, im: lax.complex(fused._from_x(re), fused._from_x(im))
+    return SCAMPState(
+        xmap=cx(xmap_re, xmap_im), xmmse=cx(xn_re, xn_im),
+        psi=psi, phi=phi,
+        z=lax.complex(fused._from_y(zr), fused._from_y(zi)),
+        active=active, T=T, t=t)
+
+
 def decode(W: jnp.ndarray, A, y: jnp.ndarray, sigma2,
            cfg: Config, *, estimate_phi: bool = False,
+           use_pallas: bool = False,
            state0: SCAMPState | None = None,
            iter_cap: int | None = None,
            return_state: bool = False,
@@ -60,6 +90,10 @@ def decode(W: jnp.ndarray, A, y: jnp.ndarray, sigma2,
 
     ``A`` may be the dense matrix or a tap-form operator from
     :mod:`..ops.operators`.
+
+    ``use_pallas`` runs the whole decode as one fused Pallas kernel
+    (banded operator, complex segmented/sparc alphabets; falls back to the
+    XLA path per-geometry when no trial tile fits VMEM).
 
     ``state0`` / ``iter_cap`` / ``return_state`` make the decode resumable
     (identical trajectory when split at any cap — the basis of the sweep
@@ -70,6 +104,28 @@ def decode(W: jnp.ndarray, A, y: jnp.ndarray, sigma2,
     op = operators.as_operator(A, precision=precision)
     B = y.shape[0]
     n, N = op.shape
+
+    whole = None
+    if use_pallas:
+        import os
+
+        import jax
+
+        from ..ops.pallas.fused_bamp import NoVmemTileError
+        from ..ops.pallas.fused_scamp import FusedScampDecode
+
+        if not isinstance(op, operators.BandedOperator):
+            raise ValueError("use_pallas requires a BandedOperator")
+        seg_ok = (cfg.mode in ("segmented", "sparc") and cfg.is_complex
+                  and cfg.M > 0)
+        if seg_ok and os.environ.get("AMP_PALLAS_MODE", "whole") == "whole":
+            try:
+                whole = FusedScampDecode(
+                    op, W, B, interpret=jax.default_backend() != "tpu",
+                    symbols=cfg.symbols, M=cfg.M, Na=cfg.Na,
+                    estimate_phi=estimate_phi)
+            except NoVmemTileError:
+                whole = None
     Lc, Lr, Mc, Mr = cfg.Lc, cfg.Lr, cfg.Mc, cfg.Mr
     L = cfg.L
     mm = partial(jnp.matmul, precision=precision)
@@ -95,6 +151,14 @@ def decode(W: jnp.ndarray, A, y: jnp.ndarray, sigma2,
             t=jnp.zeros((), jnp.int32),
         )
     cap = cfg.N_Layers if iter_cap is None else iter_cap
+
+    if whole is not None:
+        st = _fused_whole_decode(whole, state0, y, sigma2, cap)
+        result = DecodeResult(xmap=st.xmap, xmmse=st.xmmse,
+                              var=1.0 - st.psi, T=st.T)
+        if return_state:
+            return result, st
+        return result
 
     def cond(st: SCAMPState):
         return jnp.logical_and(st.t < cap, jnp.any(st.active))

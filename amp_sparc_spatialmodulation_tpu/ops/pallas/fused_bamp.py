@@ -229,12 +229,13 @@ def _seg_suffix_max(t, *, Nt, M, pos):
     return dot(dot(head, Sind), SindT)
 
 
-def _seg_denoiser(xr, xi, cov, *, Nt, M, sym_re, sym_im):
+def _seg_denoiser(xr, xi, cov, *, Nt, M, sym_re, sym_im, want_var=True):
     """General-K segmented softmax posterior on a (rows, Nt) plane
     (`bamp.py:66-77`, tau = cov/2) with the decomposed variance
     (`bamp.py:74-76`) — the in-kernel twin of
     :func:`...denoise.segmented_posterior` (symbols unrolled statically;
-    K is small: 1 for OOK ... 8 for 8PSK)."""
+    K is small: 1 for OOK ... 8 for 8PSK).  ``want_var=False`` gives the
+    mean-only form SCAMP uses (`scamp.py:61-68`)."""
     dot = functools.partial(jnp.dot, **_DOT)
     rows = xr.shape[0]
     Sind, SindT = _segment_reduce_mats(Nt, M)
@@ -257,6 +258,8 @@ def _seg_denoiser(xr, xi, cov, *, Nt, M, sym_re, sym_im):
         xm_im = xm_im + si * e
     xm_re = xm_re / eta2
     xm_im = xm_im / eta2
+    if not want_var:
+        return xm_re, xm_im, None
     var0 = (xm_re * xm_re + xm_im * xm_im) * (1.0 - lane_sum / eta2)
     vars_ = None
     for sr, si, e in zip(sym_re, sym_im, etas):

@@ -34,43 +34,51 @@ CAP = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 cfg = flagship_bamp_ook().replace(iterations=CAP)
 key = jax.random.PRNGKey(0)
-k1, k2, k3 = jax.random.split(key, 3)
-_, A = channel.generate_as_sparc(k1, cfg)
-msg = message.generate_message(k2, cfg, B)
 ebn0 = 8.0
 snr = 10 ** ((ebn0 + 10 * np.log10(cfg.code_rate)) / 10)
-y = msg.x @ A.T + channel.awgn(k3, cfg, snr, B)
 sigma2 = cfg.sigma2(snr)
-dec = vamp.svd(A)
-p, N = dec.Vh.shape
+n, N = cfg.Lout * cfg.Nr, cfg.Lin * cfg.Nt
+p = min(n, N)
 print(f"platform={jax.default_backend()} B={B} cap={CAP} p={p} N={N}",
       flush=True)
 
 
+@jax.jit  # everything jitted: eager arrays misbehave through the tunnel
+def setup(key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    _, A = channel.generate_as_sparc(k1, cfg)
+    msg = message.generate_message(k2, cfg, B)
+    y = msg.x @ A.T + channel.awgn(k3, cfg, snr, B)
+    return A, y
+
+
+A, y = setup(key)
+
+
 @jax.jit
-def run(dec, y):
-    out = vamp.decode(dec, y, sigma2, cfg)
-    # the axon tunnel only transfers f32 host-ward
-    return out.T.astype(jnp.float32)
+def run(A, y):
+    out = vamp.decode(vamp.svd(A), y, sigma2, cfg)
+    T = out.T.astype(jnp.float32)
+    return jnp.stack([T.mean(), T.max()])
 
 
 t0 = time.perf_counter()
-T = np.asarray(run(dec, y))  # device_get = real synchronization
+stats = np.asarray(run(A, y))
 print(f"compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
 
 best = None
 for r in range(4):
     t0 = time.perf_counter()
-    T = np.asarray(run(dec, y))
+    stats = np.asarray(run(A, y))
     dt = time.perf_counter() - t0
     if best is None or dt < best:
         best = dt
     print(f"rep {r}: {dt * 1e3:.1f} ms ({B / dt:.0f} trials/s)", flush=True)
 
-meanT = float(T.mean())
+meanT = float(stats[0])
 # The loop runs max-T iterations over the whole batch (per-trial freeze);
 # count the actual executed batch-iterations at the global max.
-maxT = float(T.max())
+maxT = float(stats[1])
 # 2 complex (B,·)x(N,p) matmuls per iteration, 8 real flops per MAC.
 flops_per_iter = 2 * B * N * p * 8
 achieved = flops_per_iter * maxT / best
