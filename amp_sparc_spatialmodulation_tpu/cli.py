@@ -86,8 +86,10 @@ def main(argv=None) -> int:
                        help="channel realizations vmapped per device call")
     sweep.add_argument("--use-pallas", default="auto",
                        choices=["auto", "true", "false"],
-                       help="fused Pallas iteration (auto = BAMP + banded "
-                            "+ K=1 alphabets on TPU)")
+                       help="fused whole-decode Pallas kernel (auto = "
+                            "BAMP + banded + complex segmented alphabets "
+                            "on TPU, VMEM tile fit checked; 'true' also "
+                            "covers SCAMP)")
     sweep.add_argument("--plot", action="store_true")
 
     plot = sub.add_parser("plot", help="rebuild plots from artifacts")
