@@ -55,25 +55,38 @@ def setup(key):
 A, y = setup(key)
 
 
-@jax.jit
-def run(A, y):
-    out = vamp.decode(vamp.svd(A), y, sigma2, cfg)
-    T = out.T.astype(jnp.float32)
-    return jnp.stack([T.mean(), T.max()])
+def make_run(cap):
+    @jax.jit
+    def run(A, y):
+        out = vamp.decode(vamp.svd(A), y, sigma2, cfg, iter_cap=cap)
+        T = out.T.astype(jnp.float32)
+        return jnp.stack([T.mean(), T.max(), jnp.abs(out.xmmse).sum()])
+
+    return run
 
 
-t0 = time.perf_counter()
-stats = np.asarray(run(A, y))
-print(f"compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
-
-best = None
-for r in range(4):
+def timeit(run, label):
     t0 = time.perf_counter()
     stats = np.asarray(run(A, y))
-    dt = time.perf_counter() - t0
-    if best is None or dt < best:
-        best = dt
-    print(f"rep {r}: {dt * 1e3:.1f} ms ({B / dt:.0f} trials/s)", flush=True)
+    print(f"{label}: compile+first {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    best = None
+    for r in range(4):
+        t0 = time.perf_counter()
+        stats = np.asarray(run(A, y))
+        dt = time.perf_counter() - t0
+        if best is None or dt < best:
+            best = dt
+        print(f"  rep {r}: {dt * 1e3:.1f} ms ({B / dt:.0f} trials/s)",
+              flush=True)
+    return best, stats
+
+
+base_t, _ = timeit(make_run(0), "svd-only (iter_cap=0)")
+best_full, stats = timeit(make_run(None), f"svd+decode (cap={CAP})")
+best = best_full - base_t
+print(f"decode-only slice: {best * 1e3:.1f} ms "
+      f"(svd/setup {base_t * 1e3:.1f} ms)", flush=True)
 
 meanT = float(stats[0])
 # The loop runs max-T iterations over the whole batch (per-trial freeze);

@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--ebn0", type=float, default=8.0)
+    ap.add_argument("--two-phase", type=int, default=0, metavar="K1",
+                    help="exercise the composed path (sharded two-phase "
+                         "continuation batching + fused kernel)")
+    ap.add_argument("--use-pallas", default="auto",
+                    choices=["auto", "true", "false"])
     args = ap.parse_args()
 
     if args.cpu:
@@ -54,12 +59,22 @@ def main():
     sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= len(devs)]
     base_key = jax.random.PRNGKey(0)
     rows = []
+    use_pallas = (args.use_pallas if args.use_pallas == "auto"
+                  else args.use_pallas == "true")
     for d in sizes:
         m = mesh_mod.make_mesh(trials=d, model=1, devices=devs[:d])
-        step = psweep.make_sharded_step(cfg, "bamp", "sparc", args.res, m,
-                                        operator_form="banded")
         keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
             jnp.arange(d)).reshape(d, 1, 2)
+        if args.two_phase:
+            fns = psweep.make_sharded_two_phase_fns(
+                cfg, "bamp", "sparc", args.res, args.two_phase, m,
+                operator_form="banded", use_pallas=use_pallas)
+            step = lambda k, s: psweep.run_sharded_two_phase(  # noqa: E731
+                fns, k, s, args.res)
+        else:
+            step = psweep.make_sharded_step(cfg, "bamp", "sparc", args.res,
+                                            m, operator_form="banded",
+                                            use_pallas=use_pallas)
         out = step(keys, snr)
         jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
         best = 0.0
