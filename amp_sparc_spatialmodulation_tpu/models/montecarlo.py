@@ -97,11 +97,12 @@ def make_realization_fn(cfg: Config, algo: str, channel_kind: str, res: int,
         if channel_kind == "iid":
             raise ValueError("iid channels have no banded form")
     if use_pallas is True:
-        if algo not in ("bamp", "scamp"):
+        if algo not in ("bamp", "scamp", "vamp"):
             raise ValueError(
-                "the fused Pallas decode covers bamp and scamp")
-        if operator_form != "banded":
-            raise ValueError("use_pallas requires the banded operator form")
+                "the fused Pallas decode covers bamp, scamp and vamp")
+        if algo != "vamp" and operator_form != "banded":
+            raise ValueError("use_pallas requires the banded operator "
+                             "form (vamp uses the SVD kernel instead)")
     use_pallas = resolve_use_pallas(use_pallas, cfg, algo, operator_form,
                                     batch=res)
 
@@ -133,7 +134,7 @@ def make_realization_fn(cfg: Config, algo: str, channel_kind: str, res: int,
                               use_pallas=use_pallas)
         elif algo == "vamp":
             out = vamp.decode(vamp.svd(A), y, sigma2, cfg,
-                              precision=precision)
+                              use_pallas=use_pallas, precision=precision)
         elif algo == "vamp2":
             out = vamp2.decode(vamp.svd(A), y, sigma2, cfg,
                                precision=precision)
@@ -153,21 +154,24 @@ def make_realization_fn(cfg: Config, algo: str, channel_kind: str, res: int,
 def resolve_use_pallas(use_pallas, cfg: Config, algo: str,
                        operator_form: str, batch: int | None = None) -> bool:
     """'auto' enables the fused Pallas decode exactly where it is the
-    measured win: BAMP on a banded operator on real TPU hardware with a
-    complex segmented alphabet — the whole-decode kernel (in-kernel
-    iteration loop + general-K segmented denoiser) measured 1.08x the
-    round-2 per-iteration kernel on the flagship OOK point and **2.54x**
-    the XLA path on the BAMPfinal QPSK (K=4) point.  With ``batch`` given,
-    the VMEM trial-tile fit is checked so 'auto' is exact (the massive
-    Nt=1344 geometry cannot tile and stays on the XLA banded path)."""
+    measured win: BAMP/SCAMP on a banded operator on real TPU hardware
+    with a complex segmented alphabet — the whole-decode kernel
+    (in-kernel iteration loop + general-K segmented denoiser) measured
+    1.08x the round-2 per-iteration kernel on the flagship OOK point,
+    **2.54x** the XLA path on BAMPfinal QPSK (K=4), and **1.35x** on the
+    flagship-dims SCAMP OOK sparc point.  With ``batch`` given, the VMEM
+    trial-tile fit is checked so 'auto' is exact (the massive Nt=1344
+    geometry cannot tile and stays on the XLA banded path)."""
     if use_pallas == "auto":
-        ok = (algo == "bamp" and operator_form == "banded"
+        ok = (algo in ("bamp", "scamp") and operator_form == "banded"
               and jax.default_backend() == "tpu"
               and cfg.mode in ("segmented", "sparc")
               and cfg.is_complex and cfg.M > 0)
         if ok and batch is not None:
             from ..ops.pallas.fused_bamp import _pick_tile
-            ok = _pick_tile(batch, 10 + 2 * cfg.K, 9, cfg.Lin, cfg.Lout,
+            n_x = (10 if algo == "bamp" else 9) + 2 * cfg.K
+            n_y = 9 if algo == "bamp" else 8
+            ok = _pick_tile(batch, n_x, n_y, cfg.Lin, cfg.Lout,
                             cfg.Nt, cfg.Nr) > 0
         return ok
     return bool(use_pallas)
@@ -215,8 +219,9 @@ def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
             raise ValueError("iid channels have no banded form")
     if algo == "scamp" and channel_kind != "sparc":
         raise ValueError("scamp requires the sparc channel")
-    if use_pallas is True and algo not in ("bamp", "scamp"):
-        raise ValueError("the fused Pallas decode covers bamp and scamp")
+    if use_pallas is True and algo not in ("bamp", "scamp", "vamp"):
+        raise ValueError(
+            "the fused Pallas decode covers bamp, scamp and vamp")
     use_pallas = resolve_use_pallas(use_pallas, cfg, algo, operator_form,
                                     batch=res)
 
@@ -253,7 +258,8 @@ def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
                                 estimate_phi=estimate_phi,
                                 use_pallas=use_pallas, **kw)
         if algo == "vamp":
-            return vamp.decode(A, y, sigma2, cfg, **kw)
+            return vamp.decode(A, y, sigma2, cfg, use_pallas=use_pallas,
+                               **kw)
         return vamp2.decode(A, y, sigma2, cfg, **kw)
 
     def views(state):

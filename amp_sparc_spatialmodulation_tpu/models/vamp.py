@@ -46,10 +46,46 @@ class SVD(NamedTuple):
     Vh: jnp.ndarray     # (p, N)
 
 
-def svd(A: jnp.ndarray) -> SVD:
-    """Economy SVD (`vamp_model.py:58`)."""
-    U, s, Vh = jnp.linalg.svd(A, full_matrices=False)
-    return SVD(U=U, s=s.astype(jnp.float32), Vh=Vh)
+def svd(A: jnp.ndarray, method: str = "auto") -> SVD:
+    """Economy SVD (`vamp_model.py:58`).
+
+    ``method='gram'`` computes it from the small-side Gram
+    eigendecomposition: for a wide ``(n, N)`` matrix, ``A A^H = U diag(s²)
+    U^H`` via ``eigh`` of the (n, n) Hermitian Gram, then ``Vh = diag(1/s)
+    U^H A`` — one eigh + one matmul instead of the full bidiagonal SVD.
+    On a v5e the direct complex SVD of the flagship 528x2560 operator
+    costs ~90 ms (it DOMINATES a VAMP realization at res≤2048); the Gram
+    route is matmul/eigh work on a 528x528 matrix.  Relative accuracy of
+    singular values below ``sqrt(eps)·s_max`` degrades (squared
+    spectrum) — irrelevant for VAMP, whose LMMSE uses ``s²`` directly and
+    is phase-invariant per singular vector.  ``'auto'`` picks 'gram' on
+    TPU and the LAPACK-backed 'direct' elsewhere.
+    """
+    if method == "auto":
+        method = "gram" if jax.default_backend() == "tpu" else "direct"
+    if method == "direct":
+        U, s, Vh = jnp.linalg.svd(A, full_matrices=False)
+        return SVD(U=U, s=s.astype(jnp.float32), Vh=Vh)
+    n, N = A.shape
+    if n <= N:
+        G = jnp.matmul(A, jnp.conj(A).T,
+                       precision=lax.Precision.HIGHEST)
+        w, U = jnp.linalg.eigh(G)               # ascending
+        w = jnp.maximum(w[::-1], 0.0)
+        U = U[:, ::-1]
+        s = jnp.sqrt(w)
+        safe = jnp.maximum(s, s[0] * 1e-7 + 1e-30)
+        Vh = jnp.matmul(jnp.conj(U).T, A,
+                        precision=lax.Precision.HIGHEST) / safe[:, None]
+        return SVD(U=U, s=s.astype(jnp.float32), Vh=Vh)
+    G = jnp.matmul(jnp.conj(A).T, A, precision=lax.Precision.HIGHEST)
+    w, V = jnp.linalg.eigh(G)
+    w = jnp.maximum(w[::-1], 0.0)
+    V = V[:, ::-1]
+    s = jnp.sqrt(w)
+    safe = jnp.maximum(s, s[0] * 1e-7 + 1e-30)
+    U = jnp.matmul(A, V, precision=lax.Precision.HIGHEST) / safe[None, :]
+    return SVD(U=U, s=s.astype(jnp.float32), Vh=jnp.conj(V).T)
 
 
 class VAMPState(NamedTuple):
@@ -76,12 +112,42 @@ def make_denoiser(cfg: Config):
                    Ps=cfg.Ps, P0=cfg.P0)
 
 
+def _fused_whole_decode(fused, s0: "VAMPState", y_tilde, s2_row, eta,
+                        noise_var, cap) -> "VAMPState":
+    """Run the entire VAMP decode as ONE pallas_call (in-kernel iteration
+    loop; see :mod:`..ops.pallas.fused_vamp`)."""
+    cap_rem = jnp.maximum(jnp.asarray(cap, jnp.int32) - s0.t, 0)
+    act = s0.active.astype(jnp.float32)[:, None]
+    T0 = s0.T.astype(jnp.float32)[:, None]
+    out = fused.decode_call(
+        noise_var, cap_rem, act, T0,
+        jnp.real(s0.r_tilde), jnp.imag(s0.r_tilde), s0.sigma2_tilde,
+        jnp.real(s0.r), jnp.imag(s0.r), s0.var,
+        jnp.real(s0.xmmse), jnp.imag(s0.xmmse),
+        jnp.real(y_tilde), jnp.imag(y_tilde), s2_row, eta)
+    rt_re, rt_im, s2t, r_re, r_im, var, xm_re, xm_im, act_o, T_o = out
+    active = act_o[:, 0] > 0.0
+    T = T_o[:, 0].astype(jnp.int32)
+    t = jnp.maximum(s0.t, jnp.where(jnp.any(active),
+                                    jnp.asarray(cap, jnp.int32), T.max()))
+    return VAMPState(
+        r_tilde=lax.complex(rt_re, rt_im), sigma2_tilde=s2t,
+        r=lax.complex(r_re, r_im), var=var,
+        xmmse=lax.complex(xm_re, xm_im), active=active, T=T, t=t)
+
+
 def decode(dec: SVD, y: jnp.ndarray, sigma2, cfg: Config,
-           *, state0: VAMPState | None = None,
+           *, use_pallas: bool = False,
+           state0: VAMPState | None = None,
            iter_cap: int | None = None,
            return_state: bool = False,
            precision=lax.Precision.HIGHEST):
     """Run VAMP on a batch of trials sharing one channel SVD.
+
+    ``use_pallas`` runs the whole decode as one fused Pallas kernel with
+    the SVD factor ``Vh`` VMEM-resident (complex segmented/sparc
+    alphabets; falls back to the XLA path per-geometry when the working
+    set cannot fit VMEM).
 
     ``state0`` / ``iter_cap`` / ``return_state`` make the decode resumable
     (identical trajectory when split at any cap — the basis of the sweep
@@ -92,6 +158,23 @@ def decode(dec: SVD, y: jnp.ndarray, sigma2, cfg: Config,
     p, N = Vh.shape
     mm = partial(jnp.matmul, precision=precision)
     denoiser = make_denoiser(cfg)
+
+    whole = None
+    if use_pallas:
+        import os
+
+        from ..ops.pallas.fused_bamp import NoVmemTileError
+        from ..ops.pallas.fused_vamp import FusedVampDecode
+
+        seg_ok = (cfg.mode in ("segmented", "sparc") and cfg.is_complex
+                  and cfg.M > 0)
+        if seg_ok and os.environ.get("AMP_PALLAS_MODE", "whole") == "whole":
+            try:
+                whole = FusedVampDecode(
+                    Vh, B, interpret=jax.default_backend() != "tpu",
+                    symbols=cfg.symbols, M=cfg.M)
+            except NoVmemTileError:
+                whole = None
 
     s2 = (s ** 2)[None, :]                               # (1, p)
     eta = p / N                                          # `vamp.py:28`
@@ -114,6 +197,15 @@ def decode(dec: SVD, y: jnp.ndarray, sigma2, cfg: Config,
             t=jnp.zeros((), jnp.int32),
         )
     cap = cfg.N_Layers if iter_cap is None else iter_cap
+
+    if whole is not None:
+        st = _fused_whole_decode(whole, state0, y_tilde, s2, eta,
+                                 noise_var, cap)
+        result = DecodeResult(xmap=st.r, xmmse=st.xmmse, var=st.var,
+                              T=st.T)
+        if return_state:
+            return result, st
+        return result
 
     def cond(st: VAMPState):
         return jnp.logical_and(st.t < cap, jnp.any(st.active))

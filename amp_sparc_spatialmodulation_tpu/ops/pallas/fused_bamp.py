@@ -229,18 +229,21 @@ def _seg_suffix_max(t, *, Nt, M, pos):
     return dot(dot(head, Sind), SindT)
 
 
-def _seg_denoiser(xr, xi, cov, *, Nt, M, sym_re, sym_im, want_var=True):
+def _seg_denoiser(xr, xi, cov, *, Nt, M, sym_re, sym_im, want_var=True,
+                  halve=True):
     """General-K segmented softmax posterior on a (rows, Nt) plane
     (`bamp.py:66-77`, tau = cov/2) with the decomposed variance
     (`bamp.py:74-76`) — the in-kernel twin of
     :func:`...denoise.segmented_posterior` (symbols unrolled statically;
     K is small: 1 for OOK ... 8 for 8PSK).  ``want_var=False`` gives the
-    mean-only form SCAMP uses (`scamp.py:61-68`)."""
+    mean-only form SCAMP uses (`scamp.py:61-68`); ``halve=False`` drops
+    the tau/2 calibration (VAMP, `vamp.py:110`).  ``cov`` broadcasts
+    ((rows, 1) per-trial scalars or full (rows, Nt) planes)."""
     dot = functools.partial(jnp.dot, **_DOT)
     rows = xr.shape[0]
     Sind, SindT = _segment_reduce_mats(Nt, M)
     pos = jax.lax.broadcasted_iota(jnp.int32, (rows, Nt), 1) % M
-    inv = 2.0 / cov
+    inv = (2.0 if halve else 1.0) / cov
     ts = [(xr * sr + xi * si) * inv for sr, si in zip(sym_re, sym_im)]
     m_lane = ts[0]
     for tk in ts[1:]:

@@ -67,6 +67,34 @@ def test_vamp_matches_oracle_per_trial():
                                    atol=2e-2)
 
 
+def test_gram_svd_matches_direct():
+    """The Gram-eigendecomposition SVD (the TPU default — eigh of the
+    small-side Gram instead of the full bidiagonal SVD) factors A exactly
+    and produces an iteration-identical VAMP decode: VAMP's LMMSE uses
+    s**2 and is phase-invariant per singular vector."""
+    cfg, W, A, msg, y, sigma2 = _setup(seed=3, snr_db=14.0)
+    A = jnp.asarray(A)
+    for mat in (A, A.T.conj()):            # wide and tall branches
+        dec = vamp.svd(mat, method="gram")
+        rec = (dec.U * dec.s[None, :]) @ dec.Vh
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(mat),
+                                   atol=1e-4)
+        eye = np.asarray(jnp.conj(dec.U).T @ dec.U)
+        np.testing.assert_allclose(eye, np.eye(eye.shape[0]), atol=1e-4)
+        eye = np.asarray(dec.Vh @ jnp.conj(dec.Vh).T)
+        np.testing.assert_allclose(eye, np.eye(eye.shape[0]), atol=1e-4)
+    d_dir = vamp.svd(A, method="direct")
+    d_grm = vamp.svd(A, method="gram")
+    np.testing.assert_allclose(np.asarray(d_grm.s), np.asarray(d_dir.s),
+                               atol=1e-4)
+    r_dir = vamp.decode(d_dir, jnp.asarray(y), sigma2, cfg)
+    r_grm = vamp.decode(d_grm, jnp.asarray(y), sigma2, cfg)
+    for b in range(y.shape[0]):
+        assert abs(int(r_dir.T[b]) - int(r_grm.T[b])) <= 1
+    np.testing.assert_allclose(np.asarray(r_grm.xmmse),
+                               np.asarray(r_dir.xmmse), atol=2e-2)
+
+
 def test_scamp_matches_oracle_per_trial():
     cfg, W, A, msg, y, sigma2 = _setup(seed=2, mode="sparc", snr_db=16.0)
     res = scamp.decode(jnp.asarray(W), jnp.asarray(A), jnp.asarray(y),

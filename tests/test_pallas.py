@@ -142,7 +142,7 @@ def test_use_pallas_never_silently_ignored():
                  alphabet="OOK", profile="uniform", trunc="tail",
                  iterations=20)
     with pytest.raises(ValueError):
-        montecarlo.make_realization_fn(cfg, "vamp", "sparc", 8,
+        montecarlo.make_realization_fn(cfg, "vamp2", "sparc", 8,
                                        use_pallas=True)
     with pytest.raises(ValueError):
         montecarlo.make_realization_fn(cfg, "bamp", "sparc", 8,
