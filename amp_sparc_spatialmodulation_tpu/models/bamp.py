@@ -248,7 +248,8 @@ def decode(H, y: jnp.ndarray, sigma2, cfg: Config,
         if seg_ok and mode == "whole":
             try:
                 whole = FusedBandedDecode(op, B, interpret=interpret,
-                                          symbols=cfg.symbols, M=cfg.M)
+                                          symbols=cfg.symbols, M=cfg.M,
+                                          precision=precision)
             except NoVmemTileError:
                 whole = None
         if whole is None:

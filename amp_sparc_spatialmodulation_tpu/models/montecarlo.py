@@ -159,14 +159,28 @@ def resolve_use_pallas(use_pallas, cfg: Config, algo: str,
     (in-kernel iteration loop + general-K segmented denoiser) measured
     1.08x the round-2 per-iteration kernel on the flagship OOK point,
     **2.54x** the XLA path on BAMPfinal QPSK (K=4), and **1.35x** on the
-    flagship-dims SCAMP OOK sparc point.  With ``batch`` given, the VMEM
-    trial-tile fit is checked so 'auto' is exact (the massive Nt=1344
-    geometry cannot tile and stays on the XLA banded path)."""
+    flagship-dims SCAMP OOK sparc point; and VAMP via the SV-domain
+    whole-decode kernel of :mod:`..ops.pallas.fused_vamp` (1.33x decode,
+    1.05x per realization with the SVD and channel generation included).
+    With ``batch`` given, the VMEM trial-tile fit is checked so 'auto'
+    is exact (the massive Nt=1344 geometry cannot tile and stays on the
+    XLA paths)."""
     if use_pallas == "auto":
-        ok = (algo in ("bamp", "scamp") and operator_form == "banded"
-              and jax.default_backend() == "tpu"
-              and cfg.mode in ("segmented", "sparc")
-              and cfg.is_complex and cfg.M > 0)
+        tpu_seg = (jax.default_backend() == "tpu"
+                   and cfg.mode in ("segmented", "sparc")
+                   and cfg.is_complex and cfg.M > 0)
+        if algo == "vamp":
+            ok = tpu_seg
+            if ok and batch is not None:
+                from ..ops.pallas.fused_vamp import (_pick_chunk,
+                                                     _pick_tile_vamp)
+                N = cfg.Lin * cfg.Nt
+                p = min(cfg.Lout * cfg.Nr, N)
+                ok = _pick_tile_vamp(batch, N, p, cfg.K, cfg.M,
+                                     _pick_chunk(N, cfg.M)) > 0
+            return ok
+        ok = algo in ("bamp", "scamp") and operator_form == "banded" \
+            and tpu_seg
         if ok and batch is not None:
             from ..ops.pallas.fused_bamp import _pick_tile
             n_x = (10 if algo == "bamp" else 9) + 2 * cfg.K

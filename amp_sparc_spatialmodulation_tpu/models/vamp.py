@@ -172,7 +172,7 @@ def decode(dec: SVD, y: jnp.ndarray, sigma2, cfg: Config,
             try:
                 whole = FusedVampDecode(
                     Vh, B, interpret=jax.default_backend() != "tpu",
-                    symbols=cfg.symbols, M=cfg.M)
+                    symbols=cfg.symbols, M=cfg.M, precision=precision)
             except NoVmemTileError:
                 whole = None
 

@@ -55,6 +55,36 @@ from jax.experimental.pallas import tpu as pltpu
 
 _DOT = dict(preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
+_DOT1 = dict(preferred_element_type=jnp.float32,
+             precision=jax.lax.Precision.DEFAULT)
+
+
+def _split_bf16(x):
+    """Split an f32 plane into (hi, lo) bf16 parts with x ≈ hi + lo."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def dot3(x, a):
+    """3-pass bf16 matmul — the in-kernel equivalent of
+    ``lax.Precision.HIGH`` (which Mosaic's dot lowering rejects): both
+    operands split into bf16 hi+lo and the three significant cross terms
+    accumulated in f32 on the MXU (the lo·lo term is below f32 ulp).
+    Halves the MXU passes of HIGHEST (6) at ~1e-6 relative error."""
+    dot = functools.partial(jnp.dot, **_DOT1)
+    x_hi, x_lo = _split_bf16(x)
+    a_hi, a_lo = _split_bf16(a)
+    return dot(x_hi, a_hi) + (dot(x_hi, a_lo) + dot(x_lo, a_hi))
+
+
+def make_dot(precision):
+    """In-kernel dot for a requested precision: HIGHEST lowers natively;
+    HIGH maps to the manual 3-pass :func:`dot3`; DEFAULT is 1-pass bf16."""
+    if precision == jax.lax.Precision.HIGH:
+        return dot3
+    return functools.partial(
+        jnp.dot, preferred_element_type=jnp.float32, precision=precision)
 
 
 class NoVmemTileError(ValueError):
@@ -107,7 +137,8 @@ def _band_gather(w2d, l, Bt, Lin, Lout, trunc):
 
 def _linear_iteration(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
                       S_re, S_im, S_a2, St_re, St_im, St_a2, Gf_s, G2f_s,
-                      *, Lin, Lout, Lh, Nt, Nr, Bt, trunc):
+                      *, Lin, Lout, Lh, Nt, Nr, Bt, trunc,
+                      precision=jax.lax.Precision.HIGHEST):
     """One iteration's linear part on the collapsed big planes.
 
     Inputs are ``(Lin*Bt, Nt)`` x-side / ``(Lout*Bt, Nr)`` y-side values;
@@ -116,7 +147,7 @@ def _linear_iteration(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
     not unlock a larger tile — scoped VMEM is dominated by temporaries);
     returns ``(xmap_re, xmap_im, cov, zn_re, zn_im, un)``.
     """
-    dot = functools.partial(jnp.dot, **_DOT)
+    dot = make_dot(precision)
     Gf, G2f = Gf_s, G2f_s
     # ---- forward: one big matmul per plane, then Lh slice-adds ---------
     Pv = G2f * dot(var, S_a2)                       # (Lin*Bt, Lh*Nr)
@@ -238,7 +269,10 @@ def _seg_denoiser(xr, xi, cov, *, Nt, M, sym_re, sym_im, want_var=True,
     K is small: 1 for OOK ... 8 for 8PSK).  ``want_var=False`` gives the
     mean-only form SCAMP uses (`scamp.py:61-68`); ``halve=False`` drops
     the tau/2 calibration (VAMP, `vamp.py:110`).  ``cov`` broadcasts
-    ((rows, 1) per-trial scalars or full (rows, Nt) planes)."""
+    ((rows, 1) per-trial scalars or full (rows, Nt) planes).  The
+    indicator matmuls stay at HIGHEST regardless of the linear-stage
+    precision: they are exact 0/1 segment reductions of exp() values
+    feeding the 1e-5 allclose convergence test."""
     dot = functools.partial(jnp.dot, **_DOT)
     rows = xr.shape[0]
     Sind, SindT = _segment_reduce_mats(Nt, M)
@@ -352,7 +386,8 @@ def _decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
                    St_re_ref, St_im_ref, St_a2_ref, Gf_ref, G2f_ref,
                    xmap_re_o, xmap_im_o, xn_re_o, xn_im_o, varn_o,
                    zn_re_o, zn_im_o, un_o, act_o, T_o,
-                   *, Lin, Lout, Lh, Nt, Nr, Bt, trunc, M, sym_re, sym_im):
+                   *, Lin, Lout, Lh, Nt, Nr, Bt, trunc, M, sym_re, sym_im,
+                   precision=jax.lax.Precision.HIGHEST):
     """The WHOLE BAMP decode for one trial tile in a single kernel: an
     in-kernel ``while_loop`` runs complete iterations (linear maps +
     segmented denoiser + per-trial freeze + convergence) with all state
@@ -371,7 +406,8 @@ def _decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
     y_re, y_im = _x2d(y_re_ref, Bt, Nr), _x2d(y_im_ref, Bt, Nr)
     taps = (S_re_ref[:], S_im_ref[:], S_a2_ref[:],
             St_re_ref[:], St_im_ref[:], St_a2_ref[:], Gf_ref[:], G2f_ref[:])
-    geom = dict(Lin=Lin, Lout=Lout, Lh=Lh, Nt=Nt, Nr=Nr, Bt=Bt, trunc=trunc)
+    geom = dict(Lin=Lin, Lout=Lout, Lh=Lh, Nt=Nt, Nr=Nr, Bt=Bt, trunc=trunc,
+                precision=precision)
     init = (jnp.int32(0), act_ref[:], T_ref[:],
             _x2d(xmap_re_ref, Bt, Nt), _x2d(xmap_im_ref, Bt, Nt),
             _x2d(xm_re_ref, Bt, Nt), _x2d(xm_im_ref, Bt, Nt),
@@ -587,7 +623,8 @@ class FusedBandedDecode(_PlaneKernelBase):
     """
 
     def __init__(self, op, batch: int, interpret: bool = False,
-                 symbols=None, M: int = 0):
+                 symbols=None, M: int = 0,
+                 precision=jax.lax.Precision.HIGHEST):
         if symbols is None or len(symbols) < 1:
             raise ValueError("whole-decode kernel needs a symbol table")
         if M <= 0:
@@ -597,6 +634,7 @@ class FusedBandedDecode(_PlaneKernelBase):
         self.sym_im = tuple(np.float32(s.imag) for s in syms)
         self.M = M
         self.interpret = interpret
+        self.precision = precision
         K = len(syms)
         # 5 x-side blocked inputs + 5 aliased outputs, plus ~2K denoiser
         # temporaries resident across the in-kernel loop.
@@ -635,7 +673,7 @@ class FusedBandedDecode(_PlaneKernelBase):
         kern = functools.partial(
             _decode_kernel, Lin=Lin, Lout=Lout, Lh=Lh, Nt=Nt, Nr=Nr,
             Bt=tile, trunc=trunc, M=self.M, sym_re=self.sym_re,
-            sym_im=self.sym_im)
+            sym_im=self.sym_im, precision=self.precision)
         # inputs: 0 sigma2, 1 cap, 2 act, 3 T, 4-8 x-planes, 9-11 z/u,
         # 12-13 y, 14-21 taps/gains; outputs: 0-4 x-planes, 5-7 z/u,
         # 8 act, 9 T

@@ -29,7 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_bamp import _DOT, NoVmemTileError, _seg_denoiser
+from .fused_bamp import NoVmemTileError, _seg_denoiser, make_dot
 
 _VR_MIN = 1e-5          # `vamp.py:51-52`
 _VR_MAX = 1.0 - _VR_MIN
@@ -77,20 +77,21 @@ def _vamp_decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
                         VhT_re_ref, VhT_im_ref, Vh_re_ref, Vh_im_ref,
                         rt_re_o, rt_im_o, s2t_o, r_re_o, r_im_o, var_o,
                         xm_re_o, xm_im_o, act_o, T_o,
-                        *, N, p, M, chunk, sym_re, sym_im, eta):
+                        *, N, p, M, chunk, sym_re, sym_im, eta,
+                        precision):
     """Whole VAMP decode for one trial tile (`vamp.py:56-94` semantics,
     per-trial allclose early stop on the posterior variance
-    `vamp.py:181-186`)."""
-    dot = functools.partial(jnp.dot, **_DOT)
+    `vamp.py:181-186`).
+
+    The resident Vh factor planes are read from their refs INSIDE the
+    loop body, at the dot that consumes them: hoisting ``ref[:]`` above
+    the ``while_loop`` makes each a loop-live vector-register value, and
+    the register allocator spills them (plus their multi-pass matmul
+    decompositions) — measured 100.58M of spill slots on the flagship
+    geometry, tile-independent, overflowing the 128M VMEM space."""
+    dot = make_dot(precision)
     noise_var = sigma2_ref[0]
     cap = cap_ref[0]
-    yt_re, yt_im = yt_re_ref[:], yt_im_ref[:]        # (Bt, p)
-    s2 = s2_ref[:]                                   # (1, p)
-    VhT_re, VhT_im = VhT_re_ref[:], VhT_im_ref[:]    # (N, p)
-    Vh_re, Vh_im = Vh_re_ref[:], Vh_im_ref[:]        # (p, N)
-    ones_p = jnp.ones((p, 1), jnp.float32)
-    ones_n = jnp.ones((N, 1), jnp.float32)
-
     init = (jnp.int32(0), act_ref[:], T_ref[:],
             rt_re_ref[:], rt_im_ref[:], s2t_ref[:],
             r_re_ref[:], r_im_ref[:], var_ref[:],
@@ -103,16 +104,19 @@ def _vamp_decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
         t, act, T, rt_re, rt_im, s2t, r_re, r_im, var, xm_re, xm_im = c
         # LMMSE stage in the SV domain (`vamp.py:66-73`).
         var_ratio = noise_var / s2t                          # (Bt, 1)
-        q_re = dot(rt_re, VhT_re) - dot(rt_im, VhT_im)       # (Bt, p)
-        q_im = dot(rt_re, VhT_im) + dot(rt_im, VhT_re)
-        scale = 1.0 / (s2 + var_ratio)                       # (Bt, p)
-        xsv_re = scale * (yt_re + var_ratio * q_re)
-        xsv_im = scale * (yt_im + var_ratio * q_im)
-        var_lmmse = dot(scale, ones_p) / p * noise_var       # (Bt, 1)
+        q_re = (dot(rt_re, VhT_re_ref[:])
+                - dot(rt_im, VhT_im_ref[:]))                 # (Bt, p)
+        q_im = dot(rt_re, VhT_im_ref[:]) + dot(rt_im, VhT_re_ref[:])
+        scale = 1.0 / (s2_ref[:] + var_ratio)                # (Bt, p)
+        xsv_re = scale * (yt_re_ref[:] + var_ratio * q_re)
+        xsv_im = scale * (yt_im_ref[:] + var_ratio * q_im)
+        var_lmmse = (dot(scale, jnp.ones((p, 1), jnp.float32))
+                     / p * noise_var)                        # (Bt, 1)
         w_re, w_im = xsv_re - q_re, xsv_im - q_im
         # @ conj(Vh): re -> +Vh_re, im cross -> -Vh_im
-        xt_re = dot(w_re, Vh_re) + dot(w_im, Vh_im) + rt_re  # (Bt, N)
-        xt_im = dot(w_im, Vh_re) - dot(w_re, Vh_im) + rt_im
+        xt_re = (dot(w_re, Vh_re_ref[:]) + dot(w_im, Vh_im_ref[:])
+                 + rt_re)                                    # (Bt, N)
+        xt_im = dot(w_im, Vh_re_ref[:]) - dot(w_re, Vh_im_ref[:]) + rt_im
         xt_var = eta * var_lmmse + (1.0 - eta) * s2t
 
         # Extrinsic subtraction (`vamp.py:75-82`).
@@ -126,7 +130,8 @@ def _vamp_decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
         dn_re, dn_im, varn = _seg_denoiser_lanes(
             rn_re, rn_im, sig2_den, N=N, M=M, chunk=chunk,
             sym_re=sym_re, sym_im=sym_im, halve=False)
-        dxdr = jnp.clip(dot(varn, ones_n) / N / sig2_den, _VR_MIN, _VR_MAX)
+        dxdr = jnp.clip(dot(varn, jnp.ones((N, 1), jnp.float32)) / N
+                        / sig2_den, _VR_MIN, _VR_MAX)
         norm = 1.0 / (1.0 - dxdr)
         rtn_re = (dn_re - dxdr * rn_re) * norm
         rtn_im = (dn_im - dxdr * rn_im) * norm
@@ -167,12 +172,23 @@ def _pick_tile_vamp(B: int, N: int, p: int, K: int, M: int,
     lane = lambda d: -(-d // 128) * 128
     resident = (2 * N * lane(p) * 4 + 2 * p * lane(N) * 4
                 + 2 * chunk * lane(max(chunk // M, 1)) * 4)
-    budget = 110 * 1024 * 1024 - resident
-    # Calibrated against the measured compile: tile=64 on the flagship
-    # (N=2560, p=528, K=1) needed 132.85M scoped VMEM — Mosaic keeps the
-    # long while-body temporary chain live, ~165 (tile, N) f32
-    # plane-equivalents, far beyond the naive state-plane count.
-    n_planes = 160 + 6 * K
+    budget = 100 * 1024 * 1024 - resident
+    # 11 while-carries in/out + the body's live (tile, N) temporaries.
+    # With the Vh factors read from their refs inside the loop body (NOT
+    # hoisted — hoisting made them loop-live register values and cost
+    # 100.58M of spill slots) the footprint is state-plane dominated.
+    # Calibrated: flagship tile=128 compile measured 146.94M total, i.e.
+    # ~0.96 MB per trial row ≈ 94 plane-equivalents; tile=64 fits and
+    # measured 8.9k trials/s vs 6.3k at tile=32 (matmul M = trial tile,
+    # MXU sublane utilization scales with it).
+    n_planes = 90 + 8 * K
+    import os
+    override = os.environ.get("AMP_VAMP_TILE")
+    if override:
+        t = int(override)
+        if t <= 0 or B % t or t % 8:
+            raise ValueError(f"AMP_VAMP_TILE={override} invalid for B={B}")
+        return t
     for tile in (256, 128, 64, 32, 16, 8):
         if B % tile != 0:
             continue
@@ -185,7 +201,8 @@ class FusedVampDecode:
     """One ``pallas_call`` per VAMP decode on a fixed channel SVD."""
 
     def __init__(self, Vh, batch: int, interpret: bool = False,
-                 symbols=None, M: int = 0, chunk: int | None = None):
+                 symbols=None, M: int = 0, chunk: int | None = None,
+                 precision=jax.lax.Precision.HIGHEST):
         if symbols is None or len(symbols) < 1:
             raise ValueError("whole-decode kernel needs a symbol table")
         if M <= 0:
@@ -195,6 +212,7 @@ class FusedVampDecode:
         self.sym_im = tuple(np.float32(s.imag) for s in syms)
         self.M = M
         self.interpret = interpret
+        self.precision = precision
         p, N = Vh.shape
         self.p, self.N = int(p), int(N)
         self.chunk = _pick_chunk(self.N, M) if chunk is None else chunk
@@ -232,7 +250,8 @@ class FusedVampDecode:
         a_shape = jax.ShapeDtypeStruct((B, 1), jnp.float32)
         kern = functools.partial(_vamp_decode_kernel, N=N, p=p, M=self.M,
                                  chunk=self.chunk, sym_re=self.sym_re,
-                                 sym_im=self.sym_im, eta=float(eta))
+                                 sym_im=self.sym_im, eta=float(eta),
+                                 precision=self.precision)
         # inputs: 0 sigma2, 1 cap, 2 act, 3 T, 4 rt_re, 5 rt_im, 6 s2t,
         # 7 r_re, 8 r_im, 9 var, 10 xm_re, 11 xm_im, 12-13 y_tilde,
         # 14 s2, 15-18 Vh planes; outputs: 0-7 state, 8 act, 9 T

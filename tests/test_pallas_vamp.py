@@ -52,6 +52,20 @@ def test_fused_vamp_lane_chunking_matches_whole_plane(monkeypatch):
     assert float(jnp.max(jnp.abs(whole.xmmse - chunked.xmmse))) < 1e-5
 
 
+def test_fused_vamp_high_precision_close():
+    """precision=HIGH maps to the manual 3-pass bf16 dot in-kernel
+    (Mosaic rejects lax.Precision.HIGH natively); the trajectory stays
+    statistically indistinguishable from HIGHEST."""
+    cfg, dec, y, s2 = _setup()
+    hi = vamp.decode(dec, y, s2, cfg, use_pallas=True)
+    h3 = vamp.decode(dec, y, s2, cfg, use_pallas=True,
+                     precision=jax.lax.Precision.HIGH)
+    # bounded posterior outputs agree to bf16x3 accumulation error
+    assert float(jnp.max(jnp.abs(hi.xmmse - h3.xmmse))) < 5e-2
+    assert float(jnp.mean(jnp.abs(hi.xmmse - h3.xmmse))) < 5e-3
+    assert abs(float(hi.T.mean()) - float(h3.T.mean())) <= 2.0
+
+
 def test_fused_vamp_resumable():
     cfg, dec, y, s2 = _setup(iterations=8)
     full = vamp.decode(dec, y, s2, cfg, use_pallas=True)
