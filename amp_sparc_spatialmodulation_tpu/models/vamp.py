@@ -52,14 +52,16 @@ def svd(A: jnp.ndarray, method: str = "auto") -> SVD:
     ``method='gram'`` computes it from the small-side Gram
     eigendecomposition: for a wide ``(n, N)`` matrix, ``A A^H = U diag(s²)
     U^H`` via ``eigh`` of the (n, n) Hermitian Gram, then ``Vh = diag(1/s)
-    U^H A`` — one eigh + one matmul instead of the full bidiagonal SVD.
-    On a v5e the direct complex SVD of the flagship 528x2560 operator
-    costs ~90 ms (it DOMINATES a VAMP realization at res≤2048); the Gram
-    route is matmul/eigh work on a 528x528 matrix.  Relative accuracy of
-    singular values below ``sqrt(eps)·s_max`` degrades (squared
-    spectrum) — irrelevant for VAMP, whose LMMSE uses ``s²`` directly and
-    is phase-invariant per singular vector.  ``'auto'`` picks 'gram' on
-    TPU and the LAPACK-backed 'direct' elsewhere.
+    U^H A``.  Measured on a v5e (flagship 528x2560 complex operator,
+    vmapped x8 to amortize dispatch): direct 64 ms/SVD, gram 58 ms/SVD —
+    a ~10% win only, since XLA:TPU's ``eigh`` (QDWH) costs nearly as much
+    as its SVD; either way the SVD is ~25% of a res=2048 VAMP realization
+    step, which is why ``chans_per_batch>1`` (vmapped realizations) is
+    the better lever.  Relative accuracy of singular values below
+    ``sqrt(eps)·s_max`` degrades (squared spectrum) — irrelevant for
+    VAMP, whose LMMSE uses ``s²`` directly and is phase-invariant per
+    singular vector.  ``'auto'`` picks 'gram' on TPU and the
+    LAPACK-backed 'direct' elsewhere.
     """
     if method == "auto":
         method = "gram" if jax.default_backend() == "tpu" else "direct"
