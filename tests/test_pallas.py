@@ -135,6 +135,29 @@ def test_use_pallas_honored_single_phase(tmp_path):
         assert a_p[k] == pytest.approx(v, rel=1e-4, abs=1e-6), k
 
 
+def test_dot3_error_bound():
+    """The manual 3-pass bf16 dot (`fused_bamp.dot3` — the in-kernel
+    stand-in for lax.Precision.HIGH, which Mosaic rejects) reconstructs
+    an f32 matmul to the hi+lo representation error (~2^-16), far beyond
+    1-pass bf16."""
+    import jax
+
+    from amp_sparc_spatialmodulation_tpu.ops.pallas.fused_bamp import dot3
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (64, 256), jnp.float32)
+    a = jax.random.normal(k2, (256, 128), jnp.float32)
+    exact = jnp.dot(x, a, precision=jax.lax.Precision.HIGHEST)
+    approx = dot3(x, a)
+    one_pass = jnp.dot(x.astype(jnp.bfloat16), a.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    scale = float(jnp.max(jnp.abs(exact)))
+    err3 = float(jnp.max(jnp.abs(approx - exact))) / scale
+    err1 = float(jnp.max(jnp.abs(one_pass - exact))) / scale
+    assert err3 < 2e-4          # ~16-bit mantissa over a K=256 sum
+    assert err3 < err1 / 10     # and an order better than 1-pass bf16
+
+
 def test_use_pallas_never_silently_ignored():
     """Explicit use_pallas=True raises wherever the kernel cannot apply."""
     from amp_sparc_spatialmodulation_tpu.models import montecarlo

@@ -28,6 +28,42 @@ def eight_devices():
     return jax.devices()[:8]
 
 
+def test_dp_sharded_vamp_use_pallas(eight_devices):
+    """The sharded DP path composes with the fused whole-decode VAMP
+    kernel (interpret mode on CPU): same statistics as the serial XLA
+    SV-domain decode."""
+    cfg = _cfg(Lin=8, Lh=3, iterations=15)
+    res = 8
+    m = mesh_mod.make_mesh(trials=4, model=1, devices=eight_devices[:4])
+    step = psweep.make_sharded_step(cfg, "vamp", "sparc", res, m,
+                                    operator_form="dense",
+                                    use_pallas=True)
+    base = jax.random.PRNGKey(11)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+        jnp.arange(4)).reshape(4, 1, 2)
+    snr = jnp.asarray(7.0, jnp.float32)
+    sharded = {k: float(v) for k, v in step(keys, snr).items()}
+
+    fn = montecarlo.make_realization_fn(cfg, "vamp", "sparc", res,
+                                        operator_form="dense")
+    total = None
+    for i in range(4):
+        sums = fn(jax.random.fold_in(base, i), snr)
+        vals = {k: float(v) for k, v in sums.items()}
+        total = vals if total is None else {k: total[k] + vals[k]
+                                            for k in vals}
+    assert sharded["trials"] == total["trials"] == 4 * res
+    for k in sharded:
+        if k == "T":
+            # borderline 1e-5-allclose stops can flip by one iteration
+            # under the kernel's different accumulation order (same
+            # class as dense-vs-banded XLA; see BASELINE.md)
+            assert abs(sharded[k] - total[k]) <= 2.0
+        else:
+            assert sharded[k] == pytest.approx(total[k], rel=1e-3,
+                                               abs=1e-3), k
+
+
 def test_dp_sharded_step_matches_serial(eight_devices):
     cfg = _cfg()
     res = 4
