@@ -242,14 +242,17 @@ def decode(H, y: jnp.ndarray, sigma2, cfg: Config,
         interpret = jax.default_backend() != "tpu"
         seg_ok = (cfg.mode in ("segmented", "sparc") and cfg.is_complex
                   and cfg.M > 0)
+        mix_ok = cfg.mode == "random" and cfg.is_complex
         # AMP_PALLAS_MODE=periter selects the one-kernel-per-iteration
         # design (A/B experiments); default is the whole-decode kernel.
         mode = os.environ.get("AMP_PALLAS_MODE", "whole")
-        if seg_ok and mode == "whole":
+        if (seg_ok or mix_ok) and mode == "whole":
             try:
-                whole = FusedBandedDecode(op, B, interpret=interpret,
-                                          symbols=cfg.symbols, M=cfg.M,
-                                          precision=precision)
+                whole = FusedBandedDecode(
+                    op, B, interpret=interpret, symbols=cfg.symbols,
+                    M=cfg.M, precision=precision,
+                    den="seg" if seg_ok else "mix",
+                    Ps=cfg.Ps, P0=cfg.P0)
             except NoVmemTileError:
                 whole = None
         if whole is None:

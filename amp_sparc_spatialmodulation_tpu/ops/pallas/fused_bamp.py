@@ -305,6 +305,39 @@ def _seg_denoiser(xr, xi, cov, *, Nt, M, sym_re, sym_im, want_var=True,
     return xm_re, xm_im, var0 + vars_ / eta2
 
 
+_EXP_MAX = float(np.log(np.finfo(np.float32).max)) - 1.0
+_ZERO_TOL = 1e-9
+
+
+def _mix_denoiser(xr, xi, cov, *, sym_re, sym_im, Ps, P0):
+    """i.i.d. Bernoulli-symbol-mixture posterior on a (rows, Nt) plane —
+    the in-kernel twin of :func:`...denoise.bernoulli_mixture_posterior`
+    (`bamp.py:79-97`): ``p(x) = P0 delta(x) + Ps sum_k delta(x - s_k)``
+    under a Gaussian likelihood of variance ``cov``.  Purely lane-local
+    (no segment reductions), symbols unrolled statically."""
+    inv = 1.0 / cov
+    e0 = jnp.exp(-jnp.minimum((xr * xr + xi * xi) * inv, _EXP_MAX))
+    gs = [jnp.exp(-jnp.minimum(
+        ((xr - sr) ** 2 + (xi - si) ** 2) * inv, _EXP_MAX))
+        for sr, si in zip(sym_re, sym_im)]
+    gsum = gs[0]
+    for g in gs[1:]:
+        gsum = gsum + g
+    norm = P0 * e0 + Ps * gsum
+    norm = jnp.where(norm == 0.0, _ZERO_TOL, norm)
+    m_re = sym_re[0] * gs[0]
+    m_im = sym_im[0] * gs[0]
+    second = (sym_re[0] ** 2 + sym_im[0] ** 2) * gs[0]
+    for sr, si, g in zip(sym_re[1:], sym_im[1:], gs[1:]):
+        m_re = m_re + sr * g
+        m_im = m_im + si * g
+        second = second + (sr * sr + si * si) * g
+    m_re = Ps * m_re / norm
+    m_im = Ps * m_im / norm
+    var = Ps * second / norm - (m_re * m_re + m_im * m_im)
+    return m_re, m_im, var
+
+
 def _k1_denoiser(xr, xi, cov, *, Nt, M, s0_re, s0_im):
     """K=1 segmented softmax posterior on a (rows, Nt) plane
     (`bamp.py:66-77`, tau = cov/2; var simplifies to |s0|^2 p (1-p))."""
@@ -387,7 +420,8 @@ def _decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
                    xmap_re_o, xmap_im_o, xn_re_o, xn_im_o, varn_o,
                    zn_re_o, zn_im_o, un_o, act_o, T_o,
                    *, Lin, Lout, Lh, Nt, Nr, Bt, trunc, M, sym_re, sym_im,
-                   precision=jax.lax.Precision.HIGHEST):
+                   precision=jax.lax.Precision.HIGHEST,
+                   den="seg", Ps=0.0, P0=0.0):
     """The WHOLE BAMP decode for one trial tile in a single kernel: an
     in-kernel ``while_loop`` runs complete iterations (linear maps +
     segmented denoiser + per-trial freeze + convergence) with all state
@@ -423,8 +457,12 @@ def _decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
         xr, xi, cov, zn_re, zn_im, un = _linear_iteration(
             sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
             *taps, **geom)
-        dn_re, dn_im, varn = _seg_denoiser(xr, xi, cov, Nt=Nt, M=M,
-                                           sym_re=sym_re, sym_im=sym_im)
+        if den == "mix":
+            dn_re, dn_im, varn = _mix_denoiser(xr, xi, cov, sym_re=sym_re,
+                                               sym_im=sym_im, Ps=Ps, P0=P0)
+        else:
+            dn_re, dn_im, varn = _seg_denoiser(xr, xi, cov, Nt=Nt, M=M,
+                                               sym_re=sym_re, sym_im=sym_im)
         # per-trial torch.allclose(var_new, var_old) (`bamp.py:140`)
         bad = (jnp.abs(varn - var)
                > 1e-8 + 1e-5 * jnp.abs(var)).astype(jnp.float32)
@@ -624,11 +662,15 @@ class FusedBandedDecode(_PlaneKernelBase):
 
     def __init__(self, op, batch: int, interpret: bool = False,
                  symbols=None, M: int = 0,
-                 precision=jax.lax.Precision.HIGHEST):
+                 precision=jax.lax.Precision.HIGHEST,
+                 den: str = "seg", Ps: float = 0.0, P0: float = 0.0):
         if symbols is None or len(symbols) < 1:
             raise ValueError("whole-decode kernel needs a symbol table")
-        if M <= 0:
+        if den not in ("seg", "mix"):
+            raise ValueError("den must be 'seg' or 'mix'")
+        if den == "seg" and M <= 0:
             raise ValueError("whole-decode kernel needs segment size M")
+        self.den, self.Ps, self.P0 = den, float(Ps), float(P0)
         syms = [complex(s) for s in symbols]
         self.sym_re = tuple(np.float32(s.real) for s in syms)
         self.sym_im = tuple(np.float32(s.imag) for s in syms)
@@ -673,7 +715,8 @@ class FusedBandedDecode(_PlaneKernelBase):
         kern = functools.partial(
             _decode_kernel, Lin=Lin, Lout=Lout, Lh=Lh, Nt=Nt, Nr=Nr,
             Bt=tile, trunc=trunc, M=self.M, sym_re=self.sym_re,
-            sym_im=self.sym_im, precision=self.precision)
+            sym_im=self.sym_im, precision=self.precision,
+            den=self.den, Ps=self.Ps, P0=self.P0)
         # inputs: 0 sigma2, 1 cap, 2 act, 3 T, 4-8 x-planes, 9-11 z/u,
         # 12-13 y, 14-21 taps/gains; outputs: 0-4 x-planes, 5-7 z/u,
         # 8 act, 9 T

@@ -86,7 +86,10 @@ def _roofline(cfg, iters_per_s: float) -> dict:
 
 
 def main():
-    timer = _watchdog(int(os.environ.get("BENCH_TIMEOUT", "560")))
+    # Tunnel-stalled compiles have been observed at up to ~670s; the
+    # watchdog must outlast them or a fresh run degrades to the cached
+    # number.  Measurement itself is ~45s once compiled.
+    timer = _watchdog(int(os.environ.get("BENCH_TIMEOUT", "900")))
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -101,8 +104,15 @@ def main():
     from amp_sparc_spatialmodulation_tpu.utils.metrics import fetch_sums
 
     cfg = flagship_bamp_ook()
-    res = int(os.environ.get("BENCH_RES", "8192"))      # trials per batch
-    n_batches = int(os.environ.get("BENCH_BATCHES", "16"))
+    # res=65536 is the measured single-chip sweet spot (47.5k trials/s at
+    # 8192 -> 57.0k at 16384 -> 68.7k at 32768 -> 76.4k at 65536;
+    # 131072 exhausts HBM).  Larger trial batches amortize the per-batch
+    # while_loop sync and keep the MXU fed through the convergence tail.
+    # 8 batches = 8 independent channel realizations per rep: enough to
+    # keep the sanity FER within channel-selection noise of the published
+    # 1.54e-2 while a rep stays ~7s.
+    res = int(os.environ.get("BENCH_RES", "65536"))     # trials per batch
+    n_batches = int(os.environ.get("BENCH_BATCHES", "8"))
     ebn0 = 8.0
     snr = 10 ** ((ebn0 + 10 * np.log10(cfg.code_rate)) / 10)
     snr_dev = jnp.asarray(snr, jnp.float32)

@@ -104,6 +104,28 @@ def test_whole_decode_non_pow2_segment():
     assert float(jnp.max(jnp.abs(r_x.xmmse - r_p.xmmse))) < 1e-4
 
 
+def test_whole_decode_random_mode_matches_xla():
+    """Random-mode BAMP (i.i.d. Bernoulli-mixture denoiser,
+    `bamp.py:79-97`) runs through the whole-decode kernel's lane-local
+    mixture posterior; trajectory must match the XLA path."""
+    cfg = Config(Nt=16, Na=4, Nr=8, Lin=8, Lh=3, mode="random",
+                 alphabet="QPSK", profile="uniform", trunc="tail",
+                 iterations=10)
+    key = jax.random.PRNGKey(5)
+    k1, k2, k3 = jax.random.split(key, 3)
+    op = operators.banded_toeplitz(k1, cfg)
+    msg = message.generate_message(k2, cfg, 8)
+    snr = 10 ** 1.4
+    y = op.apply(msg.x) + channel.awgn(k3, cfg, snr, 8)
+    s2 = cfg.sigma2(snr)
+    r_x = bamp.decode(op, y, s2, cfg)
+    r_p = bamp.decode(op, y, s2, cfg, use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(r_x.T), np.asarray(r_p.T))
+    assert float(jnp.max(jnp.abs(r_x.xmap - r_p.xmap))) < 1e-4
+    assert float(jnp.max(jnp.abs(r_x.xmmse - r_p.xmmse))) < 1e-4
+    assert float(jnp.max(jnp.abs(r_x.var - r_p.var))) < 1e-4
+
+
 def test_whole_decode_resumable():
     """Splitting a fused decode at any cap and resuming yields the same
     trajectory (the contract two-phase continuation batching relies on)."""
