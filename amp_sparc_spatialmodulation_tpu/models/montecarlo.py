@@ -159,7 +159,9 @@ def resolve_use_pallas(use_pallas, cfg: Config, algo: str,
     (in-kernel iteration loop + general-K segmented denoiser) measured
     1.08x the round-2 per-iteration kernel on the flagship OOK point,
     **2.54x** the XLA path on BAMPfinal QPSK (K=4), and **1.35x** on the
-    flagship-dims SCAMP OOK sparc point; and VAMP via the SV-domain
+    flagship-dims SCAMP OOK sparc point; BAMP in the random generator
+    mode via the in-kernel Bernoulli-mixture denoiser (**1.77x**); and
+    VAMP via the SV-domain
     whole-decode kernel of :mod:`..ops.pallas.fused_vamp` (1.33x decode,
     1.05x per realization with the SVD and channel generation included).
     With ``batch`` given, the VMEM trial-tile fit is checked so 'auto'
@@ -169,6 +171,18 @@ def resolve_use_pallas(use_pallas, cfg: Config, algo: str,
         tpu_seg = (jax.default_backend() == "tpu"
                    and cfg.mode in ("segmented", "sparc")
                    and cfg.is_complex and cfg.M > 0)
+        # Random generator mode: BAMP's whole-decode kernel carries the
+        # lane-local Bernoulli-mixture denoiser (measured 1.77x the XLA
+        # banded path on flagship dims, scripts/profile_random_pallas.py).
+        tpu_mix = (jax.default_backend() == "tpu" and algo == "bamp"
+                   and cfg.mode == "random" and cfg.is_complex)
+        if tpu_mix and operator_form == "banded":
+            if batch is not None:
+                from ..ops.pallas.fused_bamp import _pick_tile
+                n_x, n_y = 10 + 2 * cfg.K, 9
+                return _pick_tile(batch, n_x, n_y, cfg.Lin, cfg.Lout,
+                                  cfg.Nt, cfg.Nr) > 0
+            return True
         if algo == "vamp":
             ok = tpu_seg
             if ok and batch is not None:
