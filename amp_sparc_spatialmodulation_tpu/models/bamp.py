@@ -243,10 +243,17 @@ def decode(H, y: jnp.ndarray, sigma2, cfg: Config,
         seg_ok = (cfg.mode in ("segmented", "sparc") and cfg.is_complex
                   and cfg.M > 0)
         mix_ok = cfg.mode == "random" and cfg.is_complex
+        if not (seg_ok or mix_ok):
+            # Honest knob: never silently run XLA under use_pallas=True.
+            raise ValueError(
+                "use_pallas: the fused BAMP kernels cover complex "
+                f"segmented/sparc and random modes, not mode={cfg.mode!r} "
+                f"is_complex={cfg.is_complex}")
+        assert (seg_ok or mix_ok) == FusedBandedDecode.covers(cfg)
         # AMP_PALLAS_MODE=periter selects the one-kernel-per-iteration
         # design (A/B experiments); default is the whole-decode kernel.
         mode = os.environ.get("AMP_PALLAS_MODE", "whole")
-        if (seg_ok or mix_ok) and mode == "whole":
+        if mode == "whole":
             try:
                 whole = FusedBandedDecode(
                     op, B, interpret=interpret, symbols=cfg.symbols,
@@ -257,22 +264,22 @@ def decode(H, y: jnp.ndarray, sigma2, cfg: Config,
                 whole = None
         if whole is None:
             # Per-iteration fusion: the in-kernel denoiser covers K=1
-            # power-of-two-M alphabets (OOK); other alphabets run the
-            # linear-only kernel... which measured 0.89x, so decode uses
-            # it only when the whole-iteration form applies.
-            fuse_den = (cfg.mode in ("segmented", "sparc") and cfg.K == 1
-                        and cfg.is_complex and cfg.M > 0
+            # power-of-two-M alphabets (OOK).  Other alphabets get NO
+            # per-iteration kernel — the linear-only form measured 0.89x
+            # of the XLA banded path, so falling back to XLA is faster
+            # than "using Pallas" (AMP_PALLAS_MODE=periter on a K>1
+            # alphabet therefore measures the XLA path, by design).
+            fuse_den = (seg_ok and cfg.K == 1
                         and (cfg.M & (cfg.M - 1)) == 0)
-            try:
-                fused = FusedBandedIteration(
-                    op, B, interpret=interpret,
-                    fuse_denoiser=fuse_den,
-                    symbols=cfg.symbols if fuse_den else None,
-                    M=cfg.M if fuse_den else 0)
-            except NoVmemTileError:
-                # Geometry doesn't fit a VMEM trial tile (e.g. the massive
-                # Nt=1344 config) — the XLA banded path covers it.
-                fused = None
+            if fuse_den:
+                try:
+                    fused = FusedBandedIteration(
+                        op, B, interpret=interpret, fuse_denoiser=True,
+                        symbols=cfg.symbols, M=cfg.M)
+                except NoVmemTileError:
+                    # Geometry doesn't fit a VMEM trial tile (e.g. the
+                    # massive Nt=1344 config) — XLA banded covers it.
+                    fused = None
 
     sigma2 = jnp.asarray(sigma2, jnp.float32)
     if state0 is None:

@@ -136,8 +136,11 @@ def make_realization_fn(cfg: Config, algo: str, channel_kind: str, res: int,
             out = vamp.decode(vamp.svd(A), y, sigma2, cfg,
                               use_pallas=use_pallas, precision=precision)
         elif algo == "vamp2":
-            out = vamp2.decode(vamp.svd(A), y, sigma2, cfg,
-                               precision=precision)
+            # vamp2 whitens by dividing by s (`vamp2.py:22`), so it needs
+            # the direct SVD: the Gram-eigh route zeroes singular values
+            # below sqrt(eps)*s_max, which the division would blow up.
+            out = vamp2.decode(vamp.svd(A, method="direct"), y, sigma2,
+                               cfg, precision=precision)
         else:
             out = scamp.decode(W, A, y, sigma2, cfg,
                                estimate_phi=estimate_phi,
@@ -167,42 +170,45 @@ def resolve_use_pallas(use_pallas, cfg: Config, algo: str,
     With ``batch`` given, the VMEM trial-tile fit is checked so 'auto'
     is exact (the massive Nt=1344 geometry cannot tile and stays on the
     XLA paths)."""
+    kern = pallas_kernel_class(algo)
     if use_pallas == "auto":
-        tpu_seg = (jax.default_backend() == "tpu"
-                   and cfg.mode in ("segmented", "sparc")
-                   and cfg.is_complex and cfg.M > 0)
-        # Random generator mode: BAMP's whole-decode kernel carries the
-        # lane-local Bernoulli-mixture denoiser (measured 1.77x the XLA
-        # banded path on flagship dims, scripts/profile_random_pallas.py).
-        tpu_mix = (jax.default_backend() == "tpu" and algo == "bamp"
-                   and cfg.mode == "random" and cfg.is_complex)
-        if tpu_mix and operator_form == "banded":
-            if batch is not None:
-                from ..ops.pallas.fused_bamp import _pick_tile
-                n_x, n_y = 10 + 2 * cfg.K, 9
-                return _pick_tile(batch, n_x, n_y, cfg.Lin, cfg.Lout,
-                                  cfg.Nt, cfg.Nr) > 0
-            return True
-        if algo == "vamp":
-            ok = tpu_seg
-            if ok and batch is not None:
-                from ..ops.pallas.fused_vamp import (_pick_chunk,
-                                                     _pick_tile_vamp)
-                N = cfg.Lin * cfg.Nt
-                p = min(cfg.Lout * cfg.Nr, N)
-                ok = _pick_tile_vamp(batch, N, p, cfg.K, cfg.M,
-                                     _pick_chunk(N, cfg.M)) > 0
-            return ok
-        ok = algo in ("bamp", "scamp") and operator_form == "banded" \
-            and tpu_seg
+        if jax.default_backend() != "tpu" or kern is None:
+            return False
+        if algo != "vamp" and operator_form != "banded":
+            return False
+        ok = kern.covers(cfg)
         if ok and batch is not None:
-            from ..ops.pallas.fused_bamp import _pick_tile
-            n_x = (10 if algo == "bamp" else 9) + 2 * cfg.K
-            n_y = 9 if algo == "bamp" else 8
-            ok = _pick_tile(batch, n_x, n_y, cfg.Lin, cfg.Lout,
-                            cfg.Nt, cfg.Nr) > 0
+            ok = kern.fits(cfg, batch)
         return ok
+    if use_pallas is True and kern is not None and not kern.covers(cfg):
+        # Honest knob: explicit True with a config the kernel cannot
+        # decode (e.g. VAMP/SCAMP in the random generator mode) is an
+        # error, not a silent XLA fallback.  Geometry no-fit (massive
+        # configs) still falls back gracefully inside the decoders.
+        raise ValueError(
+            f"use_pallas=True, but the fused {algo} kernel does not cover "
+            f"mode={cfg.mode!r} alphabet={cfg.alphabet!r} "
+            f"(is_complex={cfg.is_complex}); it needs a complex "
+            "segmented/sparc alphabet"
+            + (" or the random mode" if algo == "bamp" else ""))
     return bool(use_pallas)
+
+
+def pallas_kernel_class(algo: str):
+    """The whole-decode kernel class for ``algo`` (None when no kernel
+    exists, e.g. vamp2).  Coverage/fit questions delegate to its
+    ``covers``/``fits`` classmethods so 'auto' resolution can never drift
+    from the constructors' own VMEM math."""
+    if algo == "bamp":
+        from ..ops.pallas.fused_bamp import FusedBandedDecode
+        return FusedBandedDecode
+    if algo == "scamp":
+        from ..ops.pallas.fused_scamp import FusedScampDecode
+        return FusedScampDecode
+    if algo == "vamp":
+        from ..ops.pallas.fused_vamp import FusedVampDecode
+        return FusedVampDecode
+    return None
 
 
 class TwoPhaseCore(NamedTuple):
@@ -271,7 +277,10 @@ def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
             else:
                 W, A = None, channel_ops.generate_as_random(k_chan, cfg)
         if algo in ("vamp", "vamp2"):
-            return W, vamp.svd(A)
+            # vamp2 divides by s (whitening) — needs the direct SVD's
+            # accurate small singular values; vamp uses s² only.
+            return W, vamp.svd(A, method="direct" if algo == "vamp2"
+                               else "auto")
         return W, A
 
     def run_decode(ctx, y, sigma2, state0=None, iter_cap=None):
@@ -313,7 +322,9 @@ def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
             else:
                 W, A = None, channel_ops.generate_as_random(k_chan, cfg)
             y = jnp.matmul(msg.x, A.T, precision=precision) + noise
-            ctx = (W, vamp.svd(A)) if algo in ("vamp", "vamp2") else (W, A)
+            ctx = ((W, vamp.svd(A, method="direct" if algo == "vamp2"
+                                else "auto"))
+                   if algo in ("vamp", "vamp2") else (W, A))
         _, state = run_decode(ctx, y, sigma2, iter_cap=k1)
         return msg, y, state
 

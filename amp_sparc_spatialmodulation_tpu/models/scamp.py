@@ -116,9 +116,13 @@ def decode(W: jnp.ndarray, A, y: jnp.ndarray, sigma2,
 
         if not isinstance(op, operators.BandedOperator):
             raise ValueError("use_pallas requires a BandedOperator")
-        seg_ok = (cfg.mode in ("segmented", "sparc") and cfg.is_complex
-                  and cfg.M > 0)
-        if seg_ok and os.environ.get("AMP_PALLAS_MODE", "whole") == "whole":
+        if not FusedScampDecode.covers(cfg):
+            # Honest knob: never silently run XLA under use_pallas=True.
+            raise ValueError(
+                "use_pallas: the fused SCAMP kernel covers complex "
+                f"segmented/sparc alphabets, not mode={cfg.mode!r} "
+                f"is_complex={cfg.is_complex}")
+        if os.environ.get("AMP_PALLAS_MODE", "whole") == "whole":
             try:
                 whole = FusedScampDecode(
                     op, W, B, interpret=jax.default_backend() != "tpu",

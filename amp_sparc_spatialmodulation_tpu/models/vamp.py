@@ -60,8 +60,12 @@ def svd(A: jnp.ndarray, method: str = "auto") -> SVD:
     the better lever.  Relative accuracy of singular values below
     ``sqrt(eps)·s_max`` degrades (squared spectrum) — irrelevant for
     VAMP, whose LMMSE uses ``s²`` directly and is phase-invariant per
-    singular vector.  ``'auto'`` picks 'gram' on TPU and the
-    LAPACK-backed 'direct' elsewhere.
+    singular vector, but FATAL for any consumer that divides by ``s``
+    (vamp2's whitening ``y_tilde = (U^H y)/s``, `vamp2.py:22`): the
+    gram route can return exact zeros where the direct SVD resolves tiny
+    singular values.  Pass ``method='direct'`` for such consumers (the
+    sweep engine does this for algo='vamp2').  ``'auto'`` picks 'gram'
+    on TPU and the LAPACK-backed 'direct' elsewhere.
     """
     if method == "auto":
         method = "gram" if jax.default_backend() == "tpu" else "direct"
@@ -168,9 +172,13 @@ def decode(dec: SVD, y: jnp.ndarray, sigma2, cfg: Config,
         from ..ops.pallas.fused_bamp import NoVmemTileError
         from ..ops.pallas.fused_vamp import FusedVampDecode
 
-        seg_ok = (cfg.mode in ("segmented", "sparc") and cfg.is_complex
-                  and cfg.M > 0)
-        if seg_ok and os.environ.get("AMP_PALLAS_MODE", "whole") == "whole":
+        if not FusedVampDecode.covers(cfg):
+            # Honest knob: never silently run XLA under use_pallas=True.
+            raise ValueError(
+                "use_pallas: the fused VAMP kernel covers complex "
+                f"segmented/sparc alphabets, not mode={cfg.mode!r} "
+                f"is_complex={cfg.is_complex}")
+        if os.environ.get("AMP_PALLAS_MODE", "whole") == "whole":
             try:
                 whole = FusedVampDecode(
                     Vh, B, interpret=jax.default_backend() != "tpu",

@@ -80,7 +80,13 @@ def dot3(x, a):
 
 def make_dot(precision):
     """In-kernel dot for a requested precision: HIGHEST lowers natively;
-    HIGH maps to the manual 3-pass :func:`dot3`; DEFAULT is 1-pass bf16."""
+    HIGH maps to the manual 3-pass :func:`dot3`; DEFAULT is 1-pass bf16.
+
+    Strings ('high', 'highest', ...) are canonicalized first — jnp.dot
+    accepts them everywhere else, so the kernel must map 'high' to dot3
+    too rather than feed native HIGH to Mosaic (which rejects it)."""
+    if isinstance(precision, str):
+        precision = jax.lax.Precision(precision)
     if precision == jax.lax.Precision.HIGH:
         return dot3
     return functools.partial(
@@ -659,6 +665,26 @@ class FusedBandedDecode(_PlaneKernelBase):
     batching composes — the trajectory is identical to the XLA path's
     ``lax.while_loop`` (`/root/reference/bamp.py:136-141` semantics).
     """
+
+    @classmethod
+    def covers(cls, cfg) -> bool:
+        """Semantic coverage: can this kernel decode ``cfg`` at all?
+
+        Segmented/sparc complex alphabets (any K, any M — the in-kernel
+        general-K softmax) and the random generator mode (the in-kernel
+        Bernoulli-mixture denoiser).  Geometry fit is :meth:`fits`."""
+        seg = (cfg.mode in ("segmented", "sparc") and cfg.is_complex
+               and cfg.M > 0)
+        mix = cfg.mode == "random" and cfg.is_complex
+        return seg or mix
+
+    @classmethod
+    def fits(cls, cfg, batch: int) -> bool:
+        """True if a VMEM trial tile exists for this geometry/batch —
+        the same ``_pick_tile`` call the constructor makes, so 'auto'
+        resolution can never drift from what the constructor accepts."""
+        return _pick_tile(batch, 10 + 2 * cfg.K, 9, cfg.Lin, cfg.Lout,
+                          cfg.Nt, cfg.Nr) > 0
 
     def __init__(self, op, batch: int, interpret: bool = False,
                  symbols=None, M: int = 0,

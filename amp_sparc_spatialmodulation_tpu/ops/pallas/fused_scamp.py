@@ -198,6 +198,18 @@ class FusedScampDecode(_PlaneKernelBase):
     the sharded sweeps.
     """
 
+    @classmethod
+    def covers(cls, cfg) -> bool:
+        """Semantic coverage (SCAMP has only the segmented denoiser)."""
+        return (cfg.mode in ("segmented", "sparc") and cfg.is_complex
+                and cfg.M > 0)
+
+    @classmethod
+    def fits(cls, cfg, batch: int) -> bool:
+        """VMEM trial-tile fit — the constructor's own ``_pick_tile``."""
+        return _pick_tile(batch, 9 + 2 * cfg.K, 8, cfg.Lin, cfg.Lout,
+                          cfg.Nt, cfg.Nr) > 0
+
     def __init__(self, op, W, batch: int, interpret: bool = False,
                  symbols=None, M: int = 0, Na: int = 0,
                  estimate_phi: bool = False):

@@ -200,6 +200,22 @@ def _pick_tile_vamp(B: int, N: int, p: int, K: int, M: int,
 class FusedVampDecode:
     """One ``pallas_call`` per VAMP decode on a fixed channel SVD."""
 
+    @classmethod
+    def covers(cls, cfg) -> bool:
+        """Semantic coverage (segmented denoiser only; VAMP's random-mode
+        Bernoulli-mixture path runs on XLA)."""
+        return (cfg.mode in ("segmented", "sparc") and cfg.is_complex
+                and cfg.M > 0)
+
+    @classmethod
+    def fits(cls, cfg, batch: int) -> bool:
+        """VMEM trial-tile fit from config geometry — the constructor's
+        own ``_pick_tile_vamp``/``_pick_chunk`` math."""
+        N = cfg.Lin * cfg.Nt
+        p = min(cfg.Lout * cfg.Nr, N)
+        return _pick_tile_vamp(batch, N, p, cfg.K, cfg.M,
+                               _pick_chunk(N, cfg.M)) > 0
+
     def __init__(self, Vh, batch: int, interpret: bool = False,
                  symbols=None, M: int = 0, chunk: int | None = None,
                  precision=jax.lax.Precision.HIGHEST):

@@ -143,3 +143,29 @@ def test_scamp_estimate_phi_variant():
                        sigma2, cfg, estimate_phi=True)
     nmse = float(jnp.mean(jnp.abs(res.xmmse - msg.x) ** 2))
     assert nmse < 0.2
+
+
+def test_vamp2_needs_direct_svd():
+    """vamp2 whitens by dividing by s (`vamp2.py:22`): the Gram-eigh SVD
+    zeroes singular values below ~sqrt(eps)*s_max, which that division
+    turns into inf — so the sweep engine pins method='direct' for vamp2.
+    This pins the hazard itself: an ill-conditioned matrix whose direct
+    SVD is finite-safe while the gram route returns exact zeros."""
+    import numpy as np
+
+    from amp_sparc_spatialmodulation_tpu.models import vamp
+
+    rng = np.random.default_rng(0)
+    n, N = 32, 128
+    U0, _ = np.linalg.qr(rng.standard_normal((n, n))
+                         + 1j * rng.standard_normal((n, n)))
+    V0, _ = np.linalg.qr(rng.standard_normal((N, n))
+                         + 1j * rng.standard_normal((N, n)))
+    s0 = np.geomspace(1.0, 1e-5, n)
+    A = (U0 * s0) @ V0.conj().T
+    s_direct = np.asarray(vamp.svd(jnp.asarray(A, jnp.complex64),
+                                   method="direct").s)
+    s_gram = np.asarray(vamp.svd(jnp.asarray(A, jnp.complex64),
+                                 method="gram").s)
+    assert s_direct.min() > 0            # safe to divide by
+    assert s_gram.min() == 0.0           # the hazard the pin guards

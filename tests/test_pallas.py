@@ -225,3 +225,69 @@ def test_tile_picker():
     # massive geometry: the x-side working set alone exceeds VMEM — the
     # lane-major kernel doesn't apply (banded XLA path covers it)
     assert _pick_tile(128, 6, 9, 32, 37, 1344, 73) == 0
+
+
+def test_explicit_use_pallas_uncovered_config_raises():
+    """Explicit use_pallas=True with a config the kernel cannot decode is
+    an error everywhere — never a silent XLA fallback (round-3 contract)."""
+    from amp_sparc_spatialmodulation_tpu.models import montecarlo, vamp
+
+    cfg = Config(Nt=16, Na=4, Nr=8, Lin=8, Lh=3, mode="random",
+                 alphabet="QPSK", profile="uniform", trunc="tail",
+                 iterations=6)
+    # vamp's kernel has no random-mode denoiser: resolver must raise...
+    with pytest.raises(ValueError, match="does not cover"):
+        montecarlo.resolve_use_pallas(True, cfg, "vamp", "dense")
+    with pytest.raises(ValueError, match="does not cover"):
+        montecarlo.make_realization_fn(cfg, "vamp", "iid", 8,
+                                       use_pallas=True)
+    # ...and so must a direct decoder call.
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    from amp_sparc_spatialmodulation_tpu.ops import channel as chan_ops
+    from amp_sparc_spatialmodulation_tpu.ops import message as msg_ops
+    A = chan_ops.generate_as_random(k1, cfg)
+    msg = msg_ops.generate_message(k2, cfg, 4)
+    y = msg.x @ A.T + chan_ops.awgn(k3, cfg, 10.0, 4)
+    with pytest.raises(ValueError, match="use_pallas"):
+        vamp.decode(vamp.svd(A), y, cfg.sigma2(10.0), cfg,
+                    use_pallas=True)
+    # 'auto' quietly resolves to the XLA path for the same config.
+    assert montecarlo.resolve_use_pallas("auto", cfg, "vamp",
+                                         "dense") is False
+
+
+def test_periter_mode_k_gt_1_runs_xla(monkeypatch):
+    """AMP_PALLAS_MODE=periter on a K>1 alphabet measures the XLA path
+    (the linear-only per-iteration kernel was 0.89x and is never used)."""
+    monkeypatch.setenv("AMP_PALLAS_MODE", "periter")
+    cfg, op, y, s2 = _setup(alphabet="QPSK")
+    r_p = bamp.decode(op, y, s2, cfg, use_pallas=True)
+    monkeypatch.delenv("AMP_PALLAS_MODE")
+    r_x = bamp.decode(op, y, s2, cfg)
+    np.testing.assert_array_equal(np.asarray(r_x.T), np.asarray(r_p.T))
+    np.testing.assert_array_equal(np.asarray(r_x.xmap),
+                                  np.asarray(r_p.xmap))
+
+
+def test_make_dot_accepts_precision_strings():
+    """jnp.dot accepts 'high'/'highest' strings, so make_dot must map the
+    string form to the same kernels as the enum form."""
+    from amp_sparc_spatialmodulation_tpu.ops.pallas.fused_bamp import (
+        dot3, make_dot)
+    assert make_dot("high") is dot3
+    assert make_dot(jax.lax.Precision.HIGH) is dot3
+    f = make_dot("highest")
+    x = jnp.ones((8, 8), jnp.float32)
+    np.testing.assert_allclose(np.asarray(f(x, x)), 8.0)
+
+
+def test_fits_matches_constructor():
+    """The classmethod VMEM-fit check and the constructor must agree (the
+    'auto' resolver uses the former, decode the latter)."""
+    from amp_sparc_spatialmodulation_tpu.ops.pallas.fused_bamp import (
+        FusedBandedDecode)
+    cfg, op, y, s2 = _setup(alphabet="QPSK")
+    assert FusedBandedDecode.covers(cfg)
+    assert FusedBandedDecode.fits(cfg, 8)
+    FusedBandedDecode(op, 8, interpret=True, symbols=cfg.symbols, M=cfg.M)
