@@ -24,7 +24,7 @@ from ..ops import channel as channel_ops
 from ..ops import message as message_ops
 from ..ops import operators
 from ..utils import metrics
-from . import banded, tensor
+from . import banded, tensor, vamp_tp
 from .mesh import MODEL_AXIS, TRIALS_AXIS
 
 
@@ -39,8 +39,10 @@ def make_sharded_step(cfg: Config, algo: str, channel_kind: str, res: int,
     ``keys`` has shape ``(trials_axis_size, chans_per_device, 2)`` — one key
     per (device, realization); every device decodes ``chans_per_device``
     realizations of ``res`` trials each.  When the mesh has a non-trivial
-    ``model`` axis (BAMP only), each realization is decoded tensor-parallel
-    with the operator's columns sharded over it.
+    ``model`` axis, each realization is decoded with the frame (column)
+    dimension sharded over it: banded halo exchange for BAMP/SCAMP,
+    dense column-TP for i.i.d. BAMP, SV-domain column sharding for VAMP
+    (:mod:`.vamp_tp`).
 
     ``use_pallas`` applies per device on the data-parallel path (each
     device runs the fused whole-iteration kernel on its own trial batch);
@@ -49,10 +51,11 @@ def make_sharded_step(cfg: Config, algo: str, channel_kind: str, res: int,
     raises.
     """
     tp = mesh.shape[MODEL_AXIS]
-    if tp > 1 and algo not in ("bamp", "scamp"):
+    if tp > 1 and algo not in ("bamp", "scamp", "vamp"):
         raise NotImplementedError(
-            "model-axis sharding covers bamp (banded/dense) and scamp "
-            "(banded); VAMP needs the dense SVD on one device")
+            "model-axis sharding covers bamp (banded/dense), scamp "
+            "(banded) and vamp (SV-domain columns); vamp2 divides by the "
+            "small singular values and is not distributed")
     if tp > 1 and algo == "scamp" and channel_kind != "sparc":
         raise ValueError("scamp requires the sparc channel")
     if tp > 1 and use_pallas is True:
@@ -87,11 +90,15 @@ def make_sharded_step(cfg: Config, algo: str, channel_kind: str, res: int,
     # dense column-TP with full psums remains for i.i.d. channels.
 
     if operator_form == "auto":
-        operator_form = "banded" if channel_kind != "iid" else "dense"
+        operator_form = ("dense" if algo == "vamp" or channel_kind == "iid"
+                         else "banded")
     if operator_form == "banded" and channel_kind == "iid":
         raise ValueError("iid channels have no banded form")
     if algo == "scamp" and operator_form != "banded":
         raise ValueError("model-parallel scamp needs the banded operator")
+    if algo == "vamp" and operator_form != "dense":
+        raise ValueError("model-parallel vamp works in the SV domain "
+                         "(dense operator + SVD)")
 
     def tp_realization(key, snr):
         k_chan, k_msg, k_noise = jax.random.split(key, 3)
@@ -115,6 +122,27 @@ def make_sharded_step(cfg: Config, algo: str, channel_kind: str, res: int,
                 sync_axes=(TRIALS_AXIS, MODEL_AXIS), precision=precision)
             xmap = banded.gather_columns(xmap_k)
             xmmse = banded.gather_columns(xmmse_k)
+        elif algo == "vamp":
+            # Replicated channel + SVD (every shard derives the identical
+            # realization from the replicated key — the SVD is amortized
+            # over ``res`` trials exactly as in `vamp_model.py:56-58`),
+            # then the SV-domain decode shards the frame columns.
+            from ..models import vamp as vamp_mod
+            if channel_kind == "sparc":
+                _, A = channel_ops.generate_as_sparc(k_chan, cfg)
+            elif channel_kind == "toeplitz":
+                A = channel_ops.generate_channel(k_chan, cfg)
+            else:
+                A = channel_ops.generate_as_random(k_chan, cfg)
+            dec = vamp_mod.svd(A)
+            y = jnp.matmul(msg.x, A.T, precision=precision) + noise
+            Vh_k = tensor.shard_columns(dec.Vh, cfg)
+            r_k, xmmse_k, _, T = vamp_tp.decode(
+                dec.U, dec.s, Vh_k, y, sigma2, cfg,
+                sync_axes=(TRIALS_AXIS, MODEL_AXIS), precision=precision)
+            # `vamp.py:187`: the decision layer sees the pseudo-data r.
+            xmap = tensor.gather_columns(r_k)
+            xmmse = tensor.gather_columns(xmmse_k)
         elif operator_form == "banded":
             if channel_kind == "sparc":
                 W = channel_ops.base_matrix(cfg)

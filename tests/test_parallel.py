@@ -207,3 +207,80 @@ def test_sharded_simulator_runs(eight_devices, tmp_path):
     avg = sim.run_point(8.0, epochs=64, res=4)
     assert 0.0 <= avg["fer"] <= 1.0
     assert avg["T"] >= 1.0
+
+
+def test_tp_vamp_decode_matches_single_device(eight_devices):
+    """SV-domain column-sharded VAMP equals the single-device decode:
+    identical per-trial T, matching pseudo-data/posterior trajectories."""
+    from amp_sparc_spatialmodulation_tpu.models import vamp
+    from amp_sparc_spatialmodulation_tpu.parallel import tensor, vamp_tp
+
+    cfg = _cfg(Lin=4, iterations=15)
+    B = 3
+    key = jax.random.PRNGKey(5)
+    k1, k2, k3 = jax.random.split(key, 3)
+    _, A = channel.generate_as_sparc(k1, cfg)
+    msg = message.generate_message(k2, cfg, B)
+    snr = 10.0
+    y = msg.x @ A.T + channel.awgn(k3, cfg, snr, B)
+    sigma2 = cfg.sigma2(snr)
+
+    dec = vamp.svd(A)
+    ref = vamp.decode(dec, y, sigma2, cfg)
+
+    from jax.sharding import PartitionSpec as P
+
+    m = mesh_mod.make_mesh(trials=1, model=4, devices=eight_devices[:4])
+
+    def run(U, s, Vh, y_full):
+        Vh_k = tensor.shard_columns(Vh, cfg)
+        r_k, xmmse_k, var_k, T = vamp_tp.decode(U, s, Vh_k, y_full,
+                                                sigma2, cfg)
+        return (tensor.gather_columns(r_k),
+                tensor.gather_columns(xmmse_k), T)
+
+    sharded = jax.jit(jax.shard_map(
+        run, mesh=m, in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P()), check_vma=False))
+    r, xmmse, T = sharded(dec.U, dec.s, dec.Vh, y)
+    np.testing.assert_array_equal(np.asarray(T), np.asarray(ref.T))
+    np.testing.assert_allclose(np.asarray(xmmse), np.asarray(ref.xmmse),
+                               atol=2e-4)
+    # The extrinsic pseudo-data divides by (1-alpha) with alpha clipped at
+    # 1-1e-5, so psum-vs-matmul ulp reordering is amplified ~1e4x in r;
+    # the posterior (above) and the decisions it drives are unaffected.
+    np.testing.assert_allclose(np.asarray(r), np.asarray(ref.xmap),
+                               atol=2e-2)
+
+
+def test_tp_vamp_sharded_sweep_step(eight_devices):
+    """make_sharded_step on a (trials=2, model=2) mesh runs VAMP with the
+    SV-domain columns sharded and psum-reduced statistics that match the
+    model=1 mesh bit-for-bit in expectation (same keys, same channel)."""
+    cfg = _cfg(Lin=4, iterations=15)
+    res = 4
+    base = jax.random.PRNGKey(13)
+    keys2 = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+        jnp.arange(2)).reshape(2, 1, 2)
+
+    m_tp = mesh_mod.make_mesh(trials=2, model=2, devices=eight_devices[:4])
+    step_tp = psweep.make_sharded_step(cfg, "vamp", "sparc", res, m_tp)
+    out_tp = {k: float(v) for k, v in
+              step_tp(keys2, jnp.asarray(8.0, jnp.float32)).items()}
+
+    m_dp = mesh_mod.make_mesh(trials=2, model=1, devices=eight_devices[:2])
+    step_dp = psweep.make_sharded_step(cfg, "vamp", "sparc", res, m_dp,
+                                       use_pallas=False)
+    out_dp = {k: float(v) for k, v in
+              step_dp(keys2, jnp.asarray(8.0, jnp.float32)).items()}
+
+    assert out_tp["trials"] == 2 * res == out_dp["trials"]
+    for k in ("fer", "ser"):
+        np.testing.assert_allclose(out_tp[k], out_dp[k], rtol=1e-4,
+                                   err_msg=k)
+    # Borderline 1e-5-allclose convergence decisions can flip a trial's
+    # stop iteration under the TP path's psum accumulation order (same
+    # class as the fused-kernel meanT flutter recorded in BASELINE.md);
+    # the error-rate physics above must still agree exactly.
+    np.testing.assert_allclose(out_tp["T"], out_dp["T"], rtol=5e-2,
+                               err_msg="T")
