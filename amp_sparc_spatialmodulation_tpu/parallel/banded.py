@@ -335,7 +335,9 @@ def make_denoiser_local(cfg: Config, lin_local: int):
 
 def decode(h: jnp.ndarray, gains: jnp.ndarray, y_local: jnp.ndarray,
            sigma2, cfg: Config, *, axis_name: str = MODEL_AXIS,
-           sync_axes=None, precision=lax.Precision.HIGHEST):
+           sync_axes=None, precision=lax.Precision.HIGHEST,
+           state0: HaloState | None = None, iter_cap: int | None = None,
+           return_state: bool = False):
     """Sequence-parallel BAMP (`bamp.py:48-64` semantics), frame sharded.
 
     Must run inside ``shard_map`` over a mesh with ``axis_name``.
@@ -352,8 +354,13 @@ def decode(h: jnp.ndarray, gains: jnp.ndarray, y_local: jnp.ndarray,
             the early-stop flag is psum-reduced over these axes (a device
             whose own trials converged keeps ticking with frozen state
             until the globally slowest trial converges).
+        state0 / iter_cap / return_state: resumable decoding, exactly as
+            in :func:`..models.bamp.decode` — splitting a decode at any
+            cap and continuing yields the identical trajectory (the basis
+            of continuation batching on model-parallel meshes).
 
-    Returns ``(xmap_k, xmmse_k, var_k, T)``; column shards are
+    Returns ``(xmap_k, xmmse_k, var_k, T)``, or the final
+    :class:`HaloState` when ``return_state``; column shards are
     ``all_gather``-able back to the global layout.
     """
     if sync_axes is None:
@@ -368,20 +375,22 @@ def decode(h: jnp.ndarray, gains: jnp.ndarray, y_local: jnp.ndarray,
     mask_y = op.owned[None, :, None]
     y = jnp.where(mask_y, y_local, 0.0)
 
-    state0 = HaloState(
-        xmap=jnp.zeros((B, N_local), cdtype),
-        xmmse=jnp.zeros((B, N_local), cdtype),
-        var=jnp.ones((B, N_local), jnp.float32),
-        z=y,
-        u=jnp.full((B, op.R, op.Nr), sigma2, jnp.float32),
-        active=jnp.ones((B,), bool),
-        alive=jnp.ones((), bool),
-        T=jnp.zeros((B,), jnp.int32),
-        t=jnp.zeros((), jnp.int32),
-    )
+    if state0 is None:
+        state0 = HaloState(
+            xmap=jnp.zeros((B, N_local), cdtype),
+            xmmse=jnp.zeros((B, N_local), cdtype),
+            var=jnp.ones((B, N_local), jnp.float32),
+            z=y,
+            u=jnp.full((B, op.R, op.Nr), sigma2, jnp.float32),
+            active=jnp.ones((B,), bool),
+            alive=jnp.ones((), bool),
+            T=jnp.zeros((B,), jnp.int32),
+            t=jnp.zeros((), jnp.int32),
+        )
+    cap = cfg.N_Layers if iter_cap is None else iter_cap
 
     def cond(s: HaloState):
-        return jnp.logical_and(s.t < cfg.N_Layers, s.alive)
+        return jnp.logical_and(s.t < cap, s.alive)
 
     def body(s: HaloState) -> HaloState:
         hx, v = op.apply_and_abs2(s.xmmse, s.var)         # owned rows
@@ -411,6 +420,8 @@ def decode(h: jnp.ndarray, gains: jnp.ndarray, y_local: jnp.ndarray,
         )
 
     s = lax.while_loop(cond, body, state0)
+    if return_state:
+        return s
     return s.xmap, s.xmmse, s.var, s.T
 
 
@@ -458,10 +469,14 @@ def scamp_decode(h: jnp.ndarray, gains: jnp.ndarray, W: jnp.ndarray,
                  y_local: jnp.ndarray, sigma2, cfg: Config, *,
                  estimate_phi: bool = False,
                  axis_name: str = MODEL_AXIS, sync_axes=None,
-                 precision=lax.Precision.HIGHEST):
+                 precision=lax.Precision.HIGHEST,
+                 state0: "HaloScampState | None" = None,
+                 iter_cap: int | None = None,
+                 return_state: bool = False):
     """Sequence-parallel SCAMP, frame sharded over ``axis_name``.
 
-    Must run inside ``shard_map``.  Args as :func:`decode`, plus the
+    Must run inside ``shard_map``.  Args as :func:`decode` (incl. the
+    resumable ``state0``/``iter_cap``/``return_state`` contract), plus the
     replicated base matrix ``W (Lout, Lin)``.  Matches the single-device
     :func:`..models.scamp.decode` trajectory exactly (same matmul shapes
     per column block, same per-trial T).
@@ -495,20 +510,22 @@ def scamp_decode(h: jnp.ndarray, gains: jnp.ndarray, W: jnp.ndarray,
     y = jnp.where(mask_y, y_local, 0.0)
     d = lax.axis_index(axis_name)
 
-    state0 = HaloScampState(
-        xmap=jnp.zeros((B, N_local), cdtype),
-        xmmse=jnp.zeros((B, N_local), cdtype),
-        psi=jnp.ones((B, LinL), jnp.float32),
-        phi=jnp.full((B, cfg.Lout), jnp.inf, jnp.float32),
-        z=y,
-        active=jnp.ones((B,), bool),
-        alive=jnp.ones((), bool),
-        T=jnp.zeros((B,), jnp.int32),
-        t=jnp.zeros((), jnp.int32),
-    )
+    if state0 is None:
+        state0 = HaloScampState(
+            xmap=jnp.zeros((B, N_local), cdtype),
+            xmmse=jnp.zeros((B, N_local), cdtype),
+            psi=jnp.ones((B, LinL), jnp.float32),
+            phi=jnp.full((B, cfg.Lout), jnp.inf, jnp.float32),
+            z=y,
+            active=jnp.ones((B,), bool),
+            alive=jnp.ones((), bool),
+            T=jnp.zeros((B,), jnp.int32),
+            t=jnp.zeros((), jnp.int32),
+        )
+    cap = cfg.N_Layers if iter_cap is None else iter_cap
 
     def cond(s: HaloScampState):
-        return jnp.logical_and(s.t < cfg.N_Layers, s.alive)
+        return jnp.logical_and(s.t < cap, s.alive)
 
     def body(s: HaloScampState) -> HaloScampState:
         psi_full = lax.all_gather(s.psi, axis_name, axis=1, tiled=True)
@@ -558,6 +575,8 @@ def scamp_decode(h: jnp.ndarray, gains: jnp.ndarray, W: jnp.ndarray,
         )
 
     s = lax.while_loop(cond, body, state0)
+    if return_state:
+        return s
     return s.xmap, s.xmmse, 1.0 - s.psi, s.T
 
 

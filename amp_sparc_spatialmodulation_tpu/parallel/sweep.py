@@ -221,7 +221,19 @@ def make_sharded_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
       phase1(keys, snr) -> (msg, y, state), leading dim D*C, sharded
       phase23(keys, pad_idx, msg, y, state, snr) -> psum-reduced sums
       eval_all(state, msg) -> psum-reduced sums (no-tail fast path)
+
+    On a mesh with a non-trivial ``model`` axis the decode itself is
+    model-parallel (halo BAMP/SCAMP, SV-domain VAMP) and the tail
+    compaction selects TRIAL rows — identical on every model shard, since
+    convergence is psum-reduced — so continuation batching composes with
+    frame sharding too (:func:`_make_tp_two_phase_fns`).
     """
+    if mesh.shape[MODEL_AXIS] > 1:
+        return _make_tp_two_phase_fns(
+            cfg, algo, channel_kind, res, k1, mesh,
+            chans_per_device=chans_per_device, precision=precision,
+            operator_form=operator_form, estimate_phi=estimate_phi,
+            use_pallas=use_pallas)
     core = montecarlo.make_two_phase_core(
         cfg, algo, channel_kind, res, k1, precision=precision,
         operator_form=operator_form, estimate_phi=estimate_phi,
@@ -277,6 +289,174 @@ def make_sharded_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
     return phase1, phase23, eval_all
 
 
+def _make_tp_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
+                           res: int, k1: int, mesh: Mesh,
+                           chans_per_device: int = 1,
+                           precision=lax.Precision.HIGHEST,
+                           operator_form: str = "auto",
+                           estimate_phi: bool = False,
+                           use_pallas="auto"):
+    """Continuation batching on a ``(trials, model)`` mesh.
+
+    The decode is model-parallel (halo BAMP/SCAMP on the tap-form
+    operator, SV-domain column-sharded VAMP); phase 1 stops at ``k1``
+    iterations and returns the column-sharded decoder state with TWO
+    leading stacked dims ``(trials, model)``.  The host reads only the
+    per-trial ``active`` masks (replicated across model shards — the
+    convergence verdict is psum-reduced), builds one padded tail bucket
+    per trials-device, and phase 2 resumes every shard's own column slab
+    of exactly those trials — the compaction never moves state across the
+    model axis because it selects trial ROWS, which every model shard
+    stores identically-indexed.
+
+    Same ``(phase1, phase23, eval_all)`` contract and host orchestration
+    (:func:`run_sharded_two_phase`) as the trials-only path.
+    """
+    from ..models import vamp as vamp_mod
+
+    tp = mesh.shape[MODEL_AXIS]
+    if algo not in ("bamp", "scamp", "vamp"):
+        raise NotImplementedError(
+            "model-axis two-phase covers bamp, scamp and vamp")
+    if chans_per_device != 1:
+        raise NotImplementedError(
+            "model-axis two-phase runs one realization per device call "
+            "(chans_per_device=1)")
+    if use_pallas is True:
+        raise ValueError("the fused Pallas kernel decodes whole frames; "
+                         "it does not compose with the model axis")
+    if operator_form == "auto":
+        operator_form = ("dense" if algo == "vamp" or channel_kind == "iid"
+                         else "banded")
+    if algo == "vamp" and operator_form != "dense":
+        raise ValueError("model-parallel vamp works in the SV domain")
+    if algo != "vamp" and operator_form != "banded":
+        raise NotImplementedError(
+            "model-axis two-phase needs the banded (halo) operator for "
+            "bamp/scamp; the dense column-TP path has no resumable state")
+    if algo == "scamp" and channel_kind != "sparc":
+        raise ValueError("scamp requires the sparc channel")
+    sync = (TRIALS_AXIS, MODEL_AXIS)
+
+    def build_ctx(k_chan):
+        """Operator data for one realization, derived from the replicated
+        key (phase 2 rebuilds it instead of round-tripping it)."""
+        if algo == "vamp":
+            if channel_kind == "sparc":
+                _, A = channel_ops.generate_as_sparc(k_chan, cfg)
+            elif channel_kind == "toeplitz":
+                A = channel_ops.generate_channel(k_chan, cfg)
+            else:
+                A = channel_ops.generate_as_random(k_chan, cfg)
+            return (A, vamp_mod.svd(A))
+        if channel_kind == "sparc":
+            W_np = channel_ops.base_matrix(cfg)
+            h = channel_ops.sample_sparc_taps(k_chan, cfg)
+            gains = jnp.asarray(operators.sparc_gains(cfg, W_np))
+            return (h, gains, jnp.asarray(W_np, jnp.float32))
+        h = channel_ops.sample_taps(k_chan, cfg)
+        return (h, jnp.ones((cfg.Lh, cfg.Lin), jnp.float32), None)
+
+    def build_y(ctx, msg, noise):
+        """The received signal exactly as the single-phase TP step forms
+        it (same fp op order -> identical trajectories)."""
+        if algo == "vamp":
+            A = ctx[0]
+            return jnp.matmul(msg.x, A.T, precision=precision) + noise
+        h, gains, _ = ctx
+        x_k = banded.shard_columns(msg.x, cfg)
+        op = banded.HaloBandedOperator(h, gains, cfg, precision=precision)
+        if algo == "scamp":
+            return op.apply_halo(x_k) + banded.shard_rows(noise, cfg)
+        hx, _ = op.apply_and_abs2(x_k, jnp.zeros(x_k.shape, jnp.float32))
+        return hx + banded.shard_rows(noise, cfg)
+
+    def tp_decode(ctx, y, sigma2, state0, iter_cap):
+        if algo == "bamp":
+            h, gains, _ = ctx
+            return banded.decode(h, gains, y, sigma2, cfg, sync_axes=sync,
+                                 precision=precision, state0=state0,
+                                 iter_cap=iter_cap, return_state=True)
+        if algo == "scamp":
+            h, gains, W = ctx
+            return banded.scamp_decode(
+                h, gains, W, y, sigma2, cfg, estimate_phi=estimate_phi,
+                sync_axes=sync, precision=precision, state0=state0,
+                iter_cap=iter_cap, return_state=True)
+        dec = ctx[1]
+        Vh_k = tensor.shard_columns(dec.Vh, cfg)
+        return vamp_tp.decode(dec.U, dec.s, Vh_k, y, sigma2, cfg,
+                              sync_axes=sync, precision=precision,
+                              state0=state0, iter_cap=iter_cap,
+                              return_state=True)
+
+    def pack(tree):
+        """Add the (trials, model) stacking dims shard_map assembles."""
+        return jax.tree_util.tree_map(lambda a: a[None, None], tree)
+
+    def unpack(tree):
+        return jax.tree_util.tree_map(lambda a: a[0, 0], tree)
+
+    def eval_from_state(st, msg):
+        if algo == "vamp":
+            stat = tensor.gather_columns(st.r)
+            xmmse = tensor.gather_columns(st.xmmse)
+        else:
+            stat = banded.gather_columns(st.xmap)
+            xmmse = banded.gather_columns(st.xmmse)
+        sums = metrics.evaluate_sums(stat, xmmse, msg, st.T, cfg)
+        # Sums are identical across the model axis; psum over both axes
+        # and de-duplicate (same reduction as the single-phase TP step).
+        return jax.tree_util.tree_map(
+            lambda x: lax.psum(x, sync) / tp, sums)
+
+    def p1_dev(keys, snr):
+        k_chan, k_msg, k_noise = jax.random.split(keys[0, 0], 3)
+        sigma2 = cfg.E / snr
+        msg = message_ops.generate_message(k_msg, cfg, res)
+        noise = channel_ops.awgn(k_noise, cfg, snr, res)
+        ctx = build_ctx(k_chan)
+        y = build_y(ctx, msg, noise)
+        st = tp_decode(ctx, y, sigma2, None, k1)
+        return pack(msg), y[None, None], pack(st)
+
+    def p23_dev(keys, pad_idx, msg, y, state, snr):
+        k_chan, _, _ = jax.random.split(keys[0, 0], 3)
+        sigma2 = cfg.E / snr
+        pidx = pad_idx[0]
+        msg_l, y_l, st = unpack(msg), y[0, 0], unpack(state)
+        ctx = build_ctx(k_chan)
+        sub = jax.tree_util.tree_map(
+            lambda a: a[pidx] if getattr(a, "ndim", 0) >= 1
+            and a.shape[0] == res else a, st)
+        s_fin = tp_decode(ctx, y_l[pidx], sigma2, sub, None)
+
+        def upd(full, s2):
+            if (getattr(full, "ndim", 0) >= 1 and full.shape[0] == res
+                    and s2.shape[:1] == pidx.shape):
+                return full.at[pidx].set(s2)
+            return full
+        merged = jax.tree_util.tree_map(upd, st, s_fin)
+        return eval_from_state(merged, msg_l)
+
+    def eval_dev(state, msg):
+        return eval_from_state(unpack(state), unpack(msg))
+
+    T, M = TRIALS_AXIS, MODEL_AXIS
+    SP = P(T, M)
+    phase1 = jax.jit(jax.shard_map(
+        p1_dev, mesh=mesh, in_specs=(P(T), P()),
+        out_specs=(SP, SP, SP), check_vma=False))
+    phase23 = jax.jit(jax.shard_map(
+        p23_dev, mesh=mesh,
+        in_specs=(P(T), P(T), SP, SP, SP, P()), out_specs=P(),
+        check_vma=False))
+    eval_all = jax.jit(jax.shard_map(
+        eval_dev, mesh=mesh, in_specs=(SP, SP), out_specs=P(),
+        check_vma=False))
+    return phase1, phase23, eval_all
+
+
 def run_sharded_two_phase(fns, keys, snr, res: int, min_bucket: int = 64):
     """Host orchestration of one sharded continuation-batched step.
 
@@ -285,6 +465,10 @@ def run_sharded_two_phase(fns, keys, snr, res: int, min_bucket: int = 64):
     phase1, phase23, eval_all = fns
     msg, y, state = phase1(keys, snr)
     active = np.asarray(state.active)               # (D*C, res)
+    if active.ndim == 3:
+        # (trials, model, res) on a model>1 mesh; the verdicts are
+        # replicated across model shards (psum-reduced convergence).
+        active = active[:, 0, :]
     n_max = int(active.sum(axis=1).max())
     if n_max == 0:
         return eval_all(state, msg)
@@ -305,20 +489,17 @@ class ShardedSimulator(montecarlo.Simulator):
 
     Weak-scaling knob: per SNR point each of the ``trials``-axis devices
     runs ``chans_per_batch`` realizations of ``res`` trials per call.
-    ``two_phase`` and ``use_pallas`` compose with the trials axis (each
-    device runs the fused kernel and finishes its own convergence tail);
-    the model axis supports neither (the halo decode shards the frame the
-    kernel and the tail compaction keep whole).
+    ``two_phase`` composes with BOTH axes: on the trials axis each device
+    finishes its own convergence tail; on the model axis the compaction
+    selects trial rows (identical on every frame shard) and phase 2
+    resumes the halo/SV-domain decode from the column-sharded state.
+    ``use_pallas`` composes with the trials axis only (the fused kernel
+    decodes whole frames).
     """
 
     def __init__(self, cfg: Config, mesh: Optional[Mesh] = None, **kw):
         from .mesh import make_mesh
         self.mesh = mesh if mesh is not None else make_mesh()
-        if (kw.get("two_phase") is not None
-                and self.mesh.shape[MODEL_AXIS] > 1):
-            raise NotImplementedError(
-                "two_phase continuation batching composes with the trials "
-                "axis only; use a model=1 mesh")
         super().__init__(cfg, **kw)
 
     def _build_step(self, res: int):

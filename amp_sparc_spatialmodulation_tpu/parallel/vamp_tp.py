@@ -73,7 +73,10 @@ def make_denoiser_local(cfg: Config, lin_local: int):
 def decode(U: jnp.ndarray, s: jnp.ndarray, Vh_k: jnp.ndarray,
            y: jnp.ndarray, sigma2, cfg: Config,
            *, axis_name: str = MODEL_AXIS, sync_axes=None,
-           precision=lax.Precision.HIGHEST):
+           precision=lax.Precision.HIGHEST,
+           state0: VampTPState | None = None,
+           iter_cap: int | None = None,
+           return_state: bool = False):
     """Tensor-parallel VAMP (`vamp.py:56-94` semantics) on a column shard.
 
     Args:
@@ -83,10 +86,13 @@ def decode(U: jnp.ndarray, s: jnp.ndarray, Vh_k: jnp.ndarray,
         y: (B, n) received vectors, replicated.
         sync_axes: ALL mesh axes whose devices run this program (the body
             issues psums, so the trip count must match mesh-wide).
+        state0 / iter_cap / return_state: resumable decoding as in
+            :func:`..models.vamp.decode` (continuation batching).
 
     Returns ``(r_k, xmmse_k, var_k, T)`` — column-sharded pseudo-data
     (VAMP's decision statistic, `vamp.py:187`), posterior mean/variance,
-    and per-trial iteration counts.
+    and per-trial iteration counts — or the final :class:`VampTPState`
+    when ``return_state``.
     """
     if sync_axes is None:
         sync_axes = (axis_name,)
@@ -111,20 +117,22 @@ def decode(U: jnp.ndarray, s: jnp.ndarray, Vh_k: jnp.ndarray,
 
     sparsity = cfg.sparsity
     s2t0 = sparsity ** 2 * (1 - sparsity) + (1 - sparsity) ** 2 * sparsity
-    state0 = VampTPState(
-        r_tilde=jnp.full((B, N_local), sparsity, cdtype),
-        sigma2_tilde=jnp.full((B, 1), s2t0, jnp.float32),
-        r=jnp.zeros((B, N_local), cdtype),
-        var=jnp.ones((B, N_local), jnp.float32),
-        xmmse=jnp.zeros((B, N_local), cdtype),
-        active=jnp.ones((B,), bool),
-        alive=jnp.ones((), bool),
-        T=jnp.zeros((B,), jnp.int32),
-        t=jnp.zeros((), jnp.int32),
-    )
+    if state0 is None:
+        state0 = VampTPState(
+            r_tilde=jnp.full((B, N_local), sparsity, cdtype),
+            sigma2_tilde=jnp.full((B, 1), s2t0, jnp.float32),
+            r=jnp.zeros((B, N_local), cdtype),
+            var=jnp.ones((B, N_local), jnp.float32),
+            xmmse=jnp.zeros((B, N_local), cdtype),
+            active=jnp.ones((B,), bool),
+            alive=jnp.ones((), bool),
+            T=jnp.zeros((B,), jnp.int32),
+            t=jnp.zeros((), jnp.int32),
+        )
+    cap = cfg.N_Layers if iter_cap is None else iter_cap
 
     def cond(st: VampTPState):
-        return jnp.logical_and(st.t < cfg.N_Layers, st.alive)
+        return jnp.logical_and(st.t < cap, st.alive)
 
     def body(st: VampTPState) -> VampTPState:
         # LMMSE stage in the SV domain (`vamp.py:66-73`); the projection
@@ -173,4 +181,6 @@ def decode(U: jnp.ndarray, s: jnp.ndarray, Vh_k: jnp.ndarray,
         )
 
     st = lax.while_loop(cond, body, state0)
+    if return_state:
+        return st
     return st.r, st.xmmse, st.var, st.T

@@ -284,3 +284,34 @@ def test_tp_vamp_sharded_sweep_step(eight_devices):
     # the error-rate physics above must still agree exactly.
     np.testing.assert_allclose(out_tp["T"], out_dp["T"], rtol=5e-2,
                                err_msg="T")
+
+
+@pytest.mark.parametrize("algo", ["bamp", "scamp", "vamp"])
+def test_tp_two_phase_matches_single_phase(eight_devices, algo):
+    """Continuation batching on a (trials=2, model=2) mesh: phase-1 decode
+    capped at k1, host-side trial compaction (identical rows on every
+    frame shard), phase-2 resume of the column-sharded state — the
+    statistics must match the single-phase model-parallel step (same
+    keys, same channels; resumability is trajectory-exact)."""
+    kw = dict(Lin=4, iterations=25)
+    if algo == "scamp":
+        kw["mode"] = "sparc"
+    cfg = _cfg(**kw)
+    res = 8
+    base = jax.random.PRNGKey(21)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+        jnp.arange(2)).reshape(2, 1, 2)
+    snr = jnp.asarray(9.0, jnp.float32)
+
+    m = mesh_mod.make_mesh(trials=2, model=2, devices=eight_devices[:4])
+    one = psweep.make_sharded_step(cfg, algo, "sparc", res, m)
+    out1 = {k: float(v) for k, v in one(keys, snr).items()}
+
+    fns = psweep.make_sharded_two_phase_fns(cfg, algo, "sparc", res, 3, m)
+    out2 = {k: float(v) for k, v in
+            psweep.run_sharded_two_phase(fns, keys, snr, res,
+                                         min_bucket=4).items()}
+    assert out2["trials"] == 2 * res == out1["trials"]
+    for k in ("fer", "ser", "T", "nMSE"):
+        np.testing.assert_allclose(out2[k], out1[k], rtol=1e-5,
+                                   err_msg=k)
