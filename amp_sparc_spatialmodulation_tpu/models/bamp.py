@@ -249,7 +249,8 @@ def decode(H, y: jnp.ndarray, sigma2, cfg: Config,
                 "use_pallas: the fused BAMP kernels cover complex "
                 f"segmented/sparc and random modes, not mode={cfg.mode!r} "
                 f"is_complex={cfg.is_complex}")
-        assert (seg_ok or mix_ok) == FusedBandedDecode.covers(cfg)
+        # The seg_ok/mix_ok predicate equals FusedBandedDecode.covers(cfg);
+        # pinned by tests/test_pallas.py::test_covers_matches_decode_guard.
         # AMP_PALLAS_MODE=periter selects the one-kernel-per-iteration
         # design (A/B experiments); default is the whole-decode kernel.
         mode = os.environ.get("AMP_PALLAS_MODE", "whole")

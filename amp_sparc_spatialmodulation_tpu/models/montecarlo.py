@@ -180,7 +180,16 @@ def resolve_use_pallas(use_pallas, cfg: Config, algo: str,
         if ok and batch is not None:
             ok = kern.fits(cfg, batch)
         return ok
-    if use_pallas is True and kern is not None and not kern.covers(cfg):
+    if use_pallas is True and kern is None:
+        # Honest knob: no fused kernel exists for this algorithm at all
+        # (vamp2 divides by small singular values — see
+        # tests/test_quirks.py::test_vamp2_needs_direct_svd); enforce the
+        # never-silent contract here rather than relying on downstream
+        # guards in make_realization_fn.
+        raise ValueError(
+            f"use_pallas=True, but no fused decode kernel exists for "
+            f"algo={algo!r}")
+    if use_pallas is True and not kern.covers(cfg):
         # Honest knob: explicit True with a config the kernel cannot
         # decode (e.g. VAMP/SCAMP in the random generator mode) is an
         # error, not a silent XLA fallback.  Geometry no-fit (massive
@@ -209,6 +218,30 @@ def pallas_kernel_class(algo: str):
         from ..ops.pallas.fused_vamp import FusedVampDecode
         return FusedVampDecode
     return None
+
+
+# Decoder-state fields that are NOT trial-indexed.  Every decoder state
+# (BAMPState, VAMPState, VAMP2State, SCAMPState, HaloState, HaloScampState,
+# VampTPState, TPState) carries per-trial arrays with a leading trials dim
+# in every field except these named loop scalars — selection is structural
+# (keyed on the field NAME), never on array shapes, so a future field whose
+# leading dim coincidentally equals the trial count cannot be misrouted.
+_STATE_SCALAR_FIELDS = frozenset({"t", "alive"})
+
+
+def state_take_trials(state, idx):
+    """Gather trial rows ``idx`` of a decoder-state NamedTuple."""
+    return type(state)(**{
+        f: (v if f in _STATE_SCALAR_FIELDS else v[idx])
+        for f, v in zip(state._fields, state)})
+
+
+def state_merge_trials(state, sub, idx):
+    """Scatter a sub-batch state back into the full state at rows ``idx``
+    (the loop scalars keep the full state's values)."""
+    return type(state)(**{
+        f: (v if f in _STATE_SCALAR_FIELDS else v.at[idx].set(s))
+        for f, v, s in zip(state._fields, state, sub)})
 
 
 class TwoPhaseCore(NamedTuple):
@@ -336,12 +369,7 @@ def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
         return s
 
     def scatter_eval(state, sub_state, pad_idx, msg):
-        def upd(full, sub):
-            if (getattr(full, "ndim", 0) >= 1 and full.shape[0] == res
-                    and sub.shape[:1] == pad_idx.shape):
-                return full.at[pad_idx].set(sub)
-            return full
-        merged = jax.tree_util.tree_map(upd, state, sub_state)
+        merged = state_merge_trials(state, sub_state, pad_idx)
         stat, xmmse = views(merged)
         return metrics.evaluate_sums(stat, xmmse, msg, merged.T, cfg)
 
@@ -391,9 +419,7 @@ def run_two_phase_realization(fns, key, snr, min_bucket: int = 64):
     pad_idx = np.concatenate(
         [idx, np.full(bucket - len(idx), idx[0], idx.dtype)])
     pad_idx = jnp.asarray(pad_idx)
-    sub = jax.tree_util.tree_map(
-        lambda a: a[pad_idx] if getattr(a, "ndim", 0) >= 1
-        and a.shape[0] == active.size else a, state)
+    sub = state_take_trials(state, pad_idx)
     y_sub = y[pad_idx]
     sub_final = phase2_for(bucket)(key, y_sub, sub, snr)
     return scatter_eval(state, sub_final, pad_idx, msg)

@@ -10,7 +10,7 @@ scalar pytree per SNR point.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -198,6 +198,19 @@ def _tree_idx(tree, i):
     return jax.tree_util.tree_map(lambda a: a[i], tree)
 
 
+class ShardedTwoPhaseFns(NamedTuple):
+    """The jitted sharded continuation-batching functions plus the mesh's
+    model-axis size — the host orchestration keys its de-duplication on
+    this builder-recorded flag, never on array ranks (a future 3-dim
+    trials-only ``active`` layout must not be misread as model-parallel).
+    """
+
+    phase1: Callable
+    phase23: Callable
+    eval_all: Callable
+    model_size: int
+
+
 def make_sharded_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
                                res: int, k1: int, mesh: Mesh,
                                chans_per_device: int = 1,
@@ -258,9 +271,7 @@ def make_sharded_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
 
     def p23_dev(keys, pad_idx, msg, y, state, snr):
         def one(k, pidx, msg_c, y_c, st_c):
-            sub = jax.tree_util.tree_map(
-                lambda a: a[pidx] if getattr(a, "ndim", 0) >= 1
-                and a.shape[0] == res else a, st_c)
+            sub = montecarlo.state_take_trials(st_c, pidx)
             s_fin = core.phase2(k, y_c[pidx], sub, snr)
             return core.scatter_eval(st_c, s_fin, pidx, msg_c)
 
@@ -286,7 +297,7 @@ def make_sharded_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
     eval_all = jax.jit(jax.shard_map(
         eval_dev, mesh=mesh, in_specs=(P(T), P(T)), out_specs=P(),
         check_vma=False))
-    return phase1, phase23, eval_all
+    return ShardedTwoPhaseFns(phase1, phase23, eval_all, model_size=1)
 
 
 def _make_tp_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
@@ -330,10 +341,10 @@ def _make_tp_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
                          else "banded")
     if algo == "vamp" and operator_form != "dense":
         raise ValueError("model-parallel vamp works in the SV domain")
-    if algo != "vamp" and operator_form != "banded":
-        raise NotImplementedError(
-            "model-axis two-phase needs the banded (halo) operator for "
-            "bamp/scamp; the dense column-TP path has no resumable state")
+    if algo == "scamp" and operator_form != "banded":
+        raise ValueError("model-parallel scamp needs the banded operator")
+    if operator_form == "banded" and channel_kind == "iid":
+        raise ValueError("iid channels have no banded form")
     if algo == "scamp" and channel_kind != "sparc":
         raise ValueError("scamp requires the sparc channel")
     sync = (TRIALS_AXIS, MODEL_AXIS)
@@ -349,6 +360,18 @@ def _make_tp_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
             else:
                 A = channel_ops.generate_as_random(k_chan, cfg)
             return (A, vamp_mod.svd(A))
+        if operator_form == "dense":
+            # Dense column-TP (i.i.d. or materialized Toeplitz/SPARC):
+            # every model shard derives the full A from the replicated key
+            # and slices its own columns, exactly like the single-phase
+            # step.
+            if channel_kind == "sparc":
+                _, A = channel_ops.generate_as_sparc(k_chan, cfg)
+            elif channel_kind == "toeplitz":
+                A = channel_ops.generate_channel(k_chan, cfg)
+            else:
+                A = channel_ops.generate_as_random(k_chan, cfg)
+            return (A,)
         if channel_kind == "sparc":
             W_np = channel_ops.base_matrix(cfg)
             h = channel_ops.sample_sparc_taps(k_chan, cfg)
@@ -363,6 +386,13 @@ def _make_tp_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
         if algo == "vamp":
             A = ctx[0]
             return jnp.matmul(msg.x, A.T, precision=precision) + noise
+        if operator_form == "dense":
+            # Same fp op order as the single-phase dense-TP step: local
+            # partial products psum-reduced over the model axis.
+            A_k = tensor.shard_columns(ctx[0], cfg)
+            x_k = tensor.shard_columns(msg.x, cfg)
+            return (lax.psum(jnp.matmul(x_k, A_k.T, precision=precision),
+                             MODEL_AXIS) + noise)
         h, gains, _ = ctx
         x_k = banded.shard_columns(msg.x, cfg)
         op = banded.HaloBandedOperator(h, gains, cfg, precision=precision)
@@ -372,6 +402,11 @@ def _make_tp_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
         return hx + banded.shard_rows(noise, cfg)
 
     def tp_decode(ctx, y, sigma2, state0, iter_cap):
+        if algo == "bamp" and operator_form == "dense":
+            A_k = tensor.shard_columns(ctx[0], cfg)
+            return tensor.decode(A_k, y, sigma2, cfg, sync_axes=sync,
+                                 precision=precision, state0=state0,
+                                 iter_cap=iter_cap, return_state=True)
         if algo == "bamp":
             h, gains, _ = ctx
             return banded.decode(h, gains, y, sigma2, cfg, sync_axes=sync,
@@ -426,17 +461,9 @@ def _make_tp_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
         pidx = pad_idx[0]
         msg_l, y_l, st = unpack(msg), y[0, 0], unpack(state)
         ctx = build_ctx(k_chan)
-        sub = jax.tree_util.tree_map(
-            lambda a: a[pidx] if getattr(a, "ndim", 0) >= 1
-            and a.shape[0] == res else a, st)
+        sub = montecarlo.state_take_trials(st, pidx)
         s_fin = tp_decode(ctx, y_l[pidx], sigma2, sub, None)
-
-        def upd(full, s2):
-            if (getattr(full, "ndim", 0) >= 1 and full.shape[0] == res
-                    and s2.shape[:1] == pidx.shape):
-                return full.at[pidx].set(s2)
-            return full
-        merged = jax.tree_util.tree_map(upd, st, s_fin)
+        merged = montecarlo.state_merge_trials(st, s_fin, pidx)
         return eval_from_state(merged, msg_l)
 
     def eval_dev(state, msg):
@@ -454,20 +481,21 @@ def _make_tp_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
     eval_all = jax.jit(jax.shard_map(
         eval_dev, mesh=mesh, in_specs=(SP, SP), out_specs=P(),
         check_vma=False))
-    return phase1, phase23, eval_all
+    return ShardedTwoPhaseFns(phase1, phase23, eval_all, model_size=tp)
 
 
-def run_sharded_two_phase(fns, keys, snr, res: int, min_bucket: int = 64):
+def run_sharded_two_phase(fns: ShardedTwoPhaseFns, keys, snr, res: int,
+                          min_bucket: int = 64):
     """Host orchestration of one sharded continuation-batched step.
 
     ``keys`` is ``(D, C, 2)``; only the per-trial ``active`` booleans cross
     to the host between phases."""
-    phase1, phase23, eval_all = fns
+    phase1, phase23, eval_all, model_size = fns
     msg, y, state = phase1(keys, snr)
     active = np.asarray(state.active)               # (D*C, res)
-    if active.ndim == 3:
-        # (trials, model, res) on a model>1 mesh; the verdicts are
-        # replicated across model shards (psum-reduced convergence).
+    if model_size > 1:
+        # (trials, model, res) stacking on a model>1 mesh; the verdicts
+        # are replicated across model shards (psum-reduced convergence).
         active = active[:, 0, :]
     n_max = int(active.sum(axis=1).max())
     if n_max == 0:

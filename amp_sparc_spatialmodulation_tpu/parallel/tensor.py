@@ -89,7 +89,9 @@ def make_denoiser_local(cfg: Config, lin_local: int):
 
 def decode(H_k: jnp.ndarray, y: jnp.ndarray, sigma2, cfg: Config,
            *, axis_name: str = MODEL_AXIS, sync_axes=None,
-           precision=lax.Precision.HIGHEST):
+           precision=lax.Precision.HIGHEST,
+           state0: TPState | None = None, iter_cap: int | None = None,
+           return_state: bool = False):
     """Tensor-parallel BAMP (`bamp.py:48-64` semantics) on a column shard.
 
     Args:
@@ -99,8 +101,12 @@ def decode(H_k: jnp.ndarray, y: jnp.ndarray, sigma2, cfg: Config,
             to ``(axis_name,)``).  The loop body issues psums, so its trip
             count must be identical on every device mesh-wide; the
             early-stop flag is psum-reduced over these axes.
+        state0 / iter_cap / return_state: resumable decoding, same contract
+            as :func:`.banded.decode` — splitting at any cap and resuming
+            yields the identical trajectory (continuation batching).
 
-    Returns ``(xmap_k, xmmse_k, var_k, T)`` with column-sharded estimates.
+    Returns ``(xmap_k, xmmse_k, var_k, T)`` with column-sharded estimates,
+    or the full :class:`TPState` when ``return_state``.
     """
     if sync_axes is None:
         sync_axes = (axis_name,)
@@ -119,20 +125,27 @@ def decode(H_k: jnp.ndarray, y: jnp.ndarray, sigma2, cfg: Config,
     abs2_t = abs2.T
     sigma2 = jnp.asarray(sigma2, jnp.float32)
 
-    state0 = TPState(
-        xmap=jnp.zeros((B, N_local), H_k.dtype),
-        xmmse=jnp.zeros((B, N_local), H_k.dtype),
-        var=jnp.ones((B, N_local), jnp.float32),
-        z=y,
-        u=jnp.full((B, n), sigma2, jnp.float32),
-        active=jnp.ones((B,), bool),
-        alive=jnp.ones((), bool),
-        T=jnp.zeros((B,), jnp.int32),
-        t=jnp.zeros((), jnp.int32),
-    )
+    if state0 is None:
+        state0 = TPState(
+            xmap=jnp.zeros((B, N_local), H_k.dtype),
+            xmmse=jnp.zeros((B, N_local), H_k.dtype),
+            var=jnp.ones((B, N_local), jnp.float32),
+            z=y,
+            u=jnp.full((B, n), sigma2, jnp.float32),
+            active=jnp.ones((B,), bool),
+            alive=jnp.ones((), bool),
+            T=jnp.zeros((B,), jnp.int32),
+            t=jnp.zeros((), jnp.int32),
+        )
+    else:
+        # A compacted sub-batch is alive iff any of ITS trials is active
+        # (the stored flag reflects the pre-compaction batch mesh-wide).
+        state0 = state0._replace(alive=lax.psum(
+            jnp.any(state0.active).astype(jnp.int32), sync_axes) > 0)
+    cap = cfg.N_Layers if iter_cap is None else iter_cap
 
     def cond(s: TPState):
-        return jnp.logical_and(s.t < cfg.N_Layers, s.alive)
+        return jnp.logical_and(s.t < cap, s.alive)
 
     def body(s: TPState) -> TPState:
         v = psum(mm(s.var, abs2_t))                       # (B, n) all-reduce
@@ -162,6 +175,8 @@ def decode(H_k: jnp.ndarray, y: jnp.ndarray, sigma2, cfg: Config,
         )
 
     s = lax.while_loop(cond, body, state0)
+    if return_state:
+        return s
     return s.xmap, s.xmmse, s.var, s.T
 
 

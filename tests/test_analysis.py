@@ -118,3 +118,52 @@ def test_cli_sweep_and_plot(tmp_path):
     d = os.path.join(str(tmp_path), "BAMP", cfg.name)
     assert any(f.endswith(".json") for f in os.listdir(d))
     assert any(f.endswith(".png") for f in os.listdir(d))
+
+
+def test_mi_awgn2_matches_reference_routine_real_alphabet():
+    """mi_awgn2 is a delegate to mi_awgn(noise_var=...); pin it against an
+    independent replica of the reference's separate mi_awgn2 implementation
+    (`info_theory.py:138-201`) on a REAL alphabet — the sigma^2-doubling
+    convention (grid width from the DOUBLED sigma, doubled variance in the
+    exponent) lives exactly there."""
+
+    def reference_mi_awgn2(x, pmf_x, noise_var, N):
+        # Line-by-line replica of /root/reference/info_theory.py:138-201
+        # (real-alphabet branch), kept as an independent oracle.
+        sigma2N = np.array(noise_var, float)
+        if np.isrealobj(x):
+            sigma2N = sigma2N * 2.0
+        sigmaN = np.sqrt(sigma2N)
+        xmax = np.amax(np.abs(x))
+        mi = np.zeros(len(noise_var))
+        for c in range(len(noise_var)):
+            ymax = xmax + 10 * sigmaN[c]
+            y = np.linspace(-ymax, ymax, N)
+            pmf_y_x = np.zeros((len(y), len(x)))
+            pmf_y = np.zeros(len(y))
+            for k, xk in enumerate(x):
+                tmp = np.exp(-np.abs(y - xk) ** 2 / sigma2N[c])
+                pmf_y_x[:, k] = tmp / np.sum(tmp)
+                pmf_y += pmf_y_x[:, k] * pmf_x[k]
+            log_yx = np.zeros(pmf_y_x.shape)
+            ptr = np.nonzero(pmf_y_x)
+            log_yx[ptr] = np.log2(pmf_y_x[ptr])
+            log_y = np.zeros(pmf_y.shape)
+            ptr = np.nonzero(pmf_y)
+            log_y[ptr] = np.log2(pmf_y[ptr])
+            for k in range(len(x)):
+                mi[c] += np.sum(pmf_y_x[:, k]
+                                * (log_yx[:, k] - log_y)) * pmf_x[k]
+        return mi
+
+    x = np.array([-3.0, -1.0, 1.0, 3.0])          # real 4ASK-like alphabet
+    pmf_x = np.full(4, 0.25)
+    noise_var = np.array([0.1, 0.5, 2.0])
+    want = reference_mi_awgn2(x, pmf_x, noise_var, N=801)
+    got = info_theory.mi_awgn2(x, pmf_x, noise_var, N=801)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+    # and the complex branch (no doubling)
+    xc = np.array([1 + 0j, -1 + 0j, 1j, -1j])
+    got_c = info_theory.mi_awgn2(xc, pmf_x, np.array([0.5]), N=81)
+    got_c2 = info_theory.mi_awgn(xc, pmf_x, noise_var=np.array([0.5]), N=81)
+    np.testing.assert_allclose(got_c, got_c2, rtol=1e-12)

@@ -291,3 +291,30 @@ def test_fits_matches_constructor():
     assert FusedBandedDecode.covers(cfg)
     assert FusedBandedDecode.fits(cfg, 8)
     FusedBandedDecode(op, 8, interpret=True, symbols=cfg.symbols, M=cfg.M)
+
+
+def test_covers_matches_decode_guard():
+    """bamp.decode's inline seg_ok/mix_ok coverage predicate must equal
+    FusedBandedDecode.covers on every (mode, alphabet) combination (the
+    decode guard used to assert this inline; pinned here instead)."""
+    from amp_sparc_spatialmodulation_tpu.ops.pallas.fused_bamp import (
+        FusedBandedDecode)
+    for mode in ("segmented", "random"):
+        for alphabet in ("OOK", "BPSK", "4ASK", "QPSK", "8PSK", "16QAM"):
+            cfg = Config(Nt=16, Na=4, Nr=8, Lin=8, Lh=3, mode=mode,
+                         alphabet=alphabet, profile="uniform", trunc="tail")
+            seg_ok = (cfg.mode in ("segmented", "sparc") and cfg.is_complex
+                      and cfg.M > 0)
+            mix_ok = cfg.mode == "random" and cfg.is_complex
+            assert (seg_ok or mix_ok) == FusedBandedDecode.covers(cfg), (
+                mode, alphabet)
+
+
+def test_resolve_use_pallas_vamp2_raises():
+    """Explicit use_pallas=True with an algorithm that has NO fused kernel
+    (vamp2) must raise — the never-silent contract of the knob."""
+    from amp_sparc_spatialmodulation_tpu.models import montecarlo
+    cfg = Config(Nt=16, Na=4, Nr=8, Lin=8, Lh=3, mode="segmented",
+                 alphabet="QPSK", profile="uniform", trunc="tail")
+    with pytest.raises(ValueError, match="no fused decode kernel"):
+        montecarlo.resolve_use_pallas(True, cfg, "vamp2", "dense")

@@ -315,3 +315,28 @@ def test_tp_two_phase_matches_single_phase(eight_devices, algo):
     for k in ("fer", "ser", "T", "nMSE"):
         np.testing.assert_allclose(out2[k], out1[k], rtol=1e-5,
                                    err_msg=k)
+
+
+def test_tp_two_phase_dense_iid_matches_single_phase(eight_devices):
+    """Dense column-TP (iid channel) is resumable: continuation batching
+    on a (trials=2, model=2) mesh matches the single-phase model-parallel
+    step (same keys -> identical trajectories)."""
+    cfg = _cfg(Lin=4, iterations=25)
+    res = 8
+    base = jax.random.PRNGKey(23)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+        jnp.arange(2)).reshape(2, 1, 2)
+    snr = jnp.asarray(9.0, jnp.float32)
+
+    m = mesh_mod.make_mesh(trials=2, model=2, devices=eight_devices[:4])
+    one = psweep.make_sharded_step(cfg, "bamp", "iid", res, m)
+    out1 = {k: float(v) for k, v in one(keys, snr).items()}
+
+    fns = psweep.make_sharded_two_phase_fns(cfg, "bamp", "iid", res, 3, m)
+    out2 = {k: float(v) for k, v in
+            psweep.run_sharded_two_phase(fns, keys, snr, res,
+                                         min_bucket=4).items()}
+    assert out2["trials"] == 2 * res == out1["trials"]
+    for k in ("fer", "ser", "T", "nMSE"):
+        np.testing.assert_allclose(out2[k], out1[k], rtol=1e-5,
+                                   err_msg=k)
