@@ -7,9 +7,12 @@ mutual information by 2-D numerical integration over the complex output
 grid (`capacity.py:101-137`); results (Cawgn / Cwf / Cfs / Mi per Eb/N0)
 are exported as CSV (`capacity.py:54-55`).
 
-TPU-first: the SVD of each realization runs on device
-(``jnp.linalg.svd``); the small water-filling loop and integration grid
-stay host-side NumPy like the analysis utilities they are.
+TPU-first: the epoch loop is batched on device — one vmapped ``svdvals``
+call per key chunk (the reference dispatches one SVD per epoch,
+`capacity.py:40-47`; at the measured ~25 ms dispatch floor of the remote
+chip a 1000-epoch point was pure dispatch) and the constellation-MI
+integration runs as a vmapped device kernel over (epochs x gains x grid).
+Only the tiny water-filling loop stays host-side NumPy.
 """
 from __future__ import annotations
 
@@ -33,10 +36,64 @@ class InfoTheory:
         self.seed = seed
         self.path = os.path.join(out_root, "Capacity", cfg.name)
         os.makedirs(self.path, exist_ok=True)
-        self._svdvals = jax.jit(
-            lambda key: jnp.linalg.svd(
-                channel_ops.generate_channel(key, cfg),
-                compute_uv=False))
+        def gains_one(key):
+            # Squared singular values via the Gram eigendecomposition —
+            # eigvalsh of the (n, n) Hermitian H H^H (n = short side) is
+            # far cheaper on TPU than the (n, N) complex SVD the reference
+            # dispatches per epoch (`capacity.py:44`), and the squared
+            # values are exactly what water-filling/MI consume.
+            H = channel_ops.generate_channel(key, cfg)
+            if H.shape[0] <= H.shape[1]:
+                G = jnp.matmul(H, jnp.conj(H).T,
+                               precision=jax.lax.Precision.HIGHEST)
+            else:
+                G = jnp.matmul(jnp.conj(H).T, H,
+                               precision=jax.lax.Precision.HIGHEST)
+            return jnp.clip(jnp.linalg.eigvalsh(G), 0.0, None)
+
+        self._gains = jax.jit(jax.vmap(gains_one))
+        self._mi_fns: dict = {}
+
+    def _mi_device_fn(self, grid_points: int):
+        """Batched constellation-MI kernel: ``(E, n) gains -> (E,) MI``.
+
+        Device twin of :meth:`_mutual_information` (`capacity.py:101-137`):
+        same {0} U symbols input pmf, same output grid (which depends only
+        on the SNR, not the gains), all ``n`` eigen-channels and the epoch
+        batch evaluated in one call.
+        """
+        if grid_points in self._mi_fns:
+            return self._mi_fns[grid_points]
+        cfg = self.cfg
+        x = np.append(np.asarray(cfg.symbols), 0.0)
+        pmf_x = np.full(len(x), cfg.Ps, np.float64)
+        pmf_x[-1] = 1.0 - cfg.Ps * (len(x) - 1)
+        Px = float(np.sum(np.abs(x) ** 2 * pmf_x))
+        xmax = float(np.max(np.abs(x)))
+        x_dev = jnp.asarray(x, jnp.complex64)
+        pmf_dev = jnp.asarray(pmf_x, jnp.float32)
+
+        def mi_one(g, snr):
+            sigma2 = Px / snr
+            ymax = xmax + 10.0 * jnp.sqrt(sigma2)
+            ygrid = jnp.linspace(-ymax, ymax, grid_points)
+            y = (ygrid[None, :] + 1j * ygrid[:, None]).reshape(-1)
+            gg = g / g.shape[0]
+            d2 = jnp.abs(y[:, None, None] - jnp.sqrt(gg)[None, :, None]
+                         * x_dev[None, None, :]) ** 2     # (N^2, n, K+1)
+            tmp = jnp.exp(-d2 / sigma2)
+            pmf_y_x = tmp / jnp.maximum(tmp.sum(0, keepdims=True), 1e-30)
+            pmf_y = pmf_y_x @ pmf_dev                     # (N^2, n)
+            log_yx = jnp.where(pmf_y_x > 0,
+                               jnp.log2(jnp.maximum(pmf_y_x, 1e-30)), 0.0)
+            log_y = jnp.where(pmf_y > 0,
+                              jnp.log2(jnp.maximum(pmf_y, 1e-30)), 0.0)
+            return jnp.sum(pmf_y_x * (log_yx - log_y[:, :, None])
+                           * pmf_dev[None, None, :])
+
+        fn = jax.jit(jax.vmap(mi_one, in_axes=(0, None)))
+        self._mi_fns[grid_points] = fn
+        return fn
 
     def simulate(self, epochs: int = 1000, final: Optional[float] = None,
                  start: Optional[float] = None, step: float = 1.0,
@@ -49,21 +106,32 @@ class InfoTheory:
         ebn0_range = np.arange(start, final + step, step)
         snr_range = ebn0_range + 10 * np.log10(cfg.code_rate)
         base = jax.random.PRNGKey(self.seed)
+        mi_fn = self._mi_device_fn(grid_points)
+        # Epoch chunk sized to keep the (chunk, N^2, n, K+1) MI tensor and
+        # its temporaries a few hundred MB.
+        n_sv = min(cfg.Nr * cfg.Lout, cfg.Nt * cfg.Lin)
+        per_epoch = grid_points ** 2 * n_sv * (cfg.K + 1) * 4
+        chunk = max(1, min(epochs, int(2e8 // max(per_epoch, 1)) or 1))
         rows = []
         for j, (snr_db, ebn0) in enumerate(zip(snr_range, ebn0_range)):
             snr = 10 ** (snr_db / 10)
             sigma2 = 1.0 / snr
             c_awgn = float(np.log2(1 + snr))
-            c_wf, c_fs, mi_best, mi_last = 0.0, 0.0, 0.0, 0.0
-            for e in range(epochs):
-                key = jax.random.fold_in(jax.random.fold_in(base, j), e)
-                g = np.asarray(self._svdvals(key)) ** 2
-                g = np.sort(g)[::-1]
-                p_wf = self._water_filling(g, sigma2)
-                mi_last = self._mutual_information(g, snr, N=grid_points)
-                c_wf = max(c_wf, float(np.sum(np.log2(
-                    1 + g * p_wf / sigma2))))
-                mi_best = max(mi_best, mi_last)
+            c_wf, c_fs, mi_best = 0.0, 0.0, 0.0
+            kj = jax.random.fold_in(base, j)
+            for e0 in range(0, epochs, chunk):
+                n_e = min(chunk, epochs - e0)
+                keys = jax.vmap(lambda e: jax.random.fold_in(kj, e))(
+                    jnp.arange(e0, e0 + n_e))
+                g_batch = self._gains(keys)               # (n_e, n_sv)
+                mi_batch = np.asarray(
+                    mi_fn(g_batch, jnp.float32(snr)))     # (n_e,)
+                g_host = np.sort(np.asarray(g_batch), axis=1)[:, ::-1]
+                for g in g_host:
+                    p_wf = self._water_filling(g, sigma2)
+                    c_wf = max(c_wf, float(np.sum(np.log2(
+                        1 + g * p_wf / sigma2))))
+                mi_best = max(mi_best, float(mi_batch.max()))
             rows.append([ebn0, snr_db, c_awgn, c_fs, c_wf, mi_best])
             progress(f"EbN0dB={ebn0} Cawgn={c_awgn:.3f} Cwf={c_wf:.3f} "
                      f"Mi={mi_best:.3f}")

@@ -250,10 +250,10 @@ class TwoPhaseCore(NamedTuple):
     the sharded wrapper (:func:`..parallel.sweep.make_sharded_two_phase_fns`)
     wraps in ``shard_map``."""
 
-    phase1: Callable      # (key, snr) -> (msg, y, state)
+    phase1: Callable      # (key, snr) -> (y, state)
     phase2: Callable      # (key, y_sub, state_sub, snr) -> state_sub'
-    scatter_eval: Callable  # (state, sub_state, pad_idx, msg) -> sums
-    evaluate: Callable    # (state, msg) -> sums
+    scatter_eval: Callable  # (key, state, sub_state, pad_idx) -> sums
+    evaluate: Callable    # (key, state) -> sums
     use_pallas: bool
     res: int
 
@@ -273,6 +273,12 @@ def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
     and finishes it separately — the decode trajectory is bit-identical
     (resumable ``lax.while_loop`` state), only the batch shape changes.
     Works for every decoder (their states are all resumable pytrees).
+
+    The transmitted message is NOT carried between phases: it is
+    deterministic given the key, so ``scatter_eval``/``evaluate``
+    regenerate it on device instead of holding the (res, N) complex
+    ground truth alive across the whole decode — at res=131072 that
+    buffer alone is 2.7 GB of HBM (the round-3 memory wall).
     """
     from ..ops import operators
 
@@ -339,6 +345,12 @@ def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
         stat = state.xmap if hasattr(state, "xmap") else state.r
         return stat, state.xmmse
 
+    def regen_msg(key):
+        """The message is deterministic given the realization key — rebuilt
+        at evaluation time instead of living across the decode."""
+        _, k_msg, _ = jax.random.split(key, 3)
+        return message_ops.generate_message(k_msg, cfg, res)
+
     def phase1(key, snr):
         k_chan, k_msg, k_noise = jax.random.split(key, 3)
         msg = message_ops.generate_message(k_msg, cfg, res)
@@ -359,7 +371,7 @@ def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
                                 else "auto"))
                    if algo in ("vamp", "vamp2") else (W, A))
         _, state = run_decode(ctx, y, sigma2, iter_cap=k1)
-        return msg, y, state
+        return y, state
 
     def phase2(key, y_sub, state_sub, snr):
         k_chan, _, _ = jax.random.split(key, 3)
@@ -368,14 +380,16 @@ def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
         _, s = run_decode(ctx, y_sub, sigma2, state0=state_sub)
         return s
 
-    def scatter_eval(state, sub_state, pad_idx, msg):
+    def scatter_eval(key, state, sub_state, pad_idx):
         merged = state_merge_trials(state, sub_state, pad_idx)
         stat, xmmse = views(merged)
-        return metrics.evaluate_sums(stat, xmmse, msg, merged.T, cfg)
+        return metrics.evaluate_sums(stat, xmmse, regen_msg(key), merged.T,
+                                     cfg)
 
-    def evaluate(state, msg):
+    def evaluate(key, state):
         stat, xmmse = views(state)
-        return metrics.evaluate_sums(stat, xmmse, msg, state.T, cfg)
+        return metrics.evaluate_sums(stat, xmmse, regen_msg(key), state.T,
+                                     cfg)
 
     return TwoPhaseCore(phase1=phase1, phase2=phase2,
                         scatter_eval=scatter_eval, evaluate=evaluate,
@@ -390,29 +404,34 @@ def make_two_phase_fns(cfg: Config, algo: str, channel_kind: str, res: int,
     """Jitted single-device continuation batching.
 
     Returns ``(phase1, phase2_for, scatter_eval, evaluate)``:
-      phase1(key, snr) -> (msg, y, state)
+      phase1(key, snr) -> (y, state)
       phase2_for(bucket)(key, y_sub, state_sub, snr) -> state_sub'
-      scatter_eval(state, sub_state, pad_idx, msg) -> metric sums
-      evaluate(state, msg) -> metric sums
+      scatter_eval(key, state, sub_state, pad_idx) -> metric sums
+      evaluate(key, state) -> metric sums
+
+    The decoder state is DONATED to scatter_eval/phase2 (the scatter
+    merge runs in place; nothing reuses the phase-1 buffers afterwards).
     """
     core = make_two_phase_core(cfg, algo, channel_kind, res, k1,
                                precision=precision,
                                operator_form=operator_form,
                                estimate_phi=estimate_phi,
                                use_pallas=use_pallas)
-    phase2 = jax.jit(core.phase2)  # jit retraces per bucket shape
+    phase2 = jax.jit(core.phase2,
+                     donate_argnums=(2,))  # jit retraces per bucket shape
     return (jax.jit(core.phase1), lambda bucket: phase2,
-            jax.jit(core.scatter_eval), jax.jit(core.evaluate))
+            jax.jit(core.scatter_eval, donate_argnums=(1, 2)),
+            jax.jit(core.evaluate, donate_argnums=(1,)))
 
 
 def run_two_phase_realization(fns, key, snr, min_bucket: int = 64):
     """Host orchestration of one continuation-batched realization."""
     phase1, phase2_for, scatter_eval, evaluate = fns
-    msg, y, state = phase1(key, snr)
+    y, state = phase1(key, snr)
     active = np.asarray(state.active)
     n_active = int(active.sum())
     if n_active == 0:
-        return evaluate(state, msg)
+        return evaluate(key, state)
     idx = np.flatnonzero(active)
     bucket = max(min_bucket, 1 << (n_active - 1).bit_length())
     bucket = min(bucket, active.size)
@@ -422,7 +441,7 @@ def run_two_phase_realization(fns, key, snr, min_bucket: int = 64):
     sub = state_take_trials(state, pad_idx)
     y_sub = y[pad_idx]
     sub_final = phase2_for(bucket)(key, y_sub, sub, snr)
-    return scatter_eval(state, sub_final, pad_idx, msg)
+    return scatter_eval(key, state, sub_final, pad_idx)
 
 
 class Simulator:

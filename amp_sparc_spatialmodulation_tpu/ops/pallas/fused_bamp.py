@@ -144,7 +144,8 @@ def _band_gather(w2d, l, Bt, Lin, Lout, trunc):
 def _linear_iteration(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
                       S_re, S_im, S_a2, St_re, St_im, St_a2, Gf_s, G2f_s,
                       *, Lin, Lout, Lh, Nt, Nr, Bt, trunc,
-                      precision=jax.lax.Precision.HIGHEST):
+                      precision=jax.lax.Precision.HIGHEST,
+                      x_precision=None, fold_mode="roll"):
     """One iteration's linear part on the collapsed big planes.
 
     Inputs are ``(Lin*Bt, Nt)`` x-side / ``(Lout*Bt, Nr)`` y-side values;
@@ -152,35 +153,63 @@ def _linear_iteration(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
     (in-kernel expansion from (Lin, Lh*Nr) measured 12% slower and did
     not unlock a larger tile — scoped VMEM is dominated by temporaries);
     returns ``(xmap_re, xmap_im, cov, zn_re, zn_im, un)``.
+
+    ``x_precision`` optionally runs the xmap-chain matmuls (Pr/Pi forward,
+    adjoint) at a cheaper precision than the variance chain (Pv/cov),
+    which must stay at the caller's ``precision`` — the posterior variance
+    feeds the 1e-5 allclose early stop.  ``fold_mode`` selects the tap
+    lane-group fold: 'roll' (lane-roll + slice per tap — no matmul, no
+    72->128 lane-padding waste) or 'matmul' (the round-3 indicator-matmul
+    fold, kept for A/B).
     """
     dot = make_dot(precision)
+    dot_x = dot if x_precision is None else make_dot(x_precision)
     Gf, G2f = Gf_s, G2f_s
     # ---- forward: one big matmul per plane, then Lh slice-adds ---------
     Pv = G2f * dot(var, S_a2)                       # (Lin*Bt, Lh*Nr)
-    Pr = Gf * (dot(xm_re, S_re) - dot(xm_im, S_im))
-    Pi = Gf * (dot(xm_im, S_re) + dot(xm_re, S_im))
-    # Band shift-accumulate without lane-offset slices (Mosaic cannot
-    # sublane-concat them): mask each tap's lane group elementwise, shift
-    # rows with full-width concats (all at lane offset 0), and fold the
-    # Lh lane groups with a small indicator matmul at the end.
+    Pr = Gf * (dot_x(xm_re, S_re) - dot_x(xm_im, S_im))
+    Pi = Gf * (dot_x(xm_im, S_re) + dot_x(xm_re, S_im))
     W = Lh * Nr
-    group = jax.lax.broadcasted_iota(jnp.int32, (Lin * Bt, W), 1) // Nr
-    acc_v = acc_re = acc_im = None
-    for l in range(Lh):
-        m = group == l
-        cv = _band_shift(jnp.where(m, Pv, 0.0), l, Bt, Lin, Lout, trunc)
-        cr = _band_shift(jnp.where(m, Pr, 0.0), l, Bt, Lin, Lout, trunc)
-        ci = _band_shift(jnp.where(m, Pi, 0.0), l, Bt, Lin, Lout, trunc)
-        acc_v = cv if acc_v is None else acc_v + cv
-        acc_re = cr if acc_re is None else acc_re + cr
-        acc_im = ci if acc_im is None else acc_im + ci
-    # (W, Nr) lane-fold indicator: R[l*Nr + j, j] = 1
-    fold = (jax.lax.broadcasted_iota(jnp.int32, (W, Nr), 0) % Nr
-            == jax.lax.broadcasted_iota(jnp.int32, (W, Nr), 1)
-            ).astype(jnp.float32)
-    v = dot(acc_v, fold)
-    hx_re = dot(acc_re, fold)
-    hx_im = dot(acc_im, fold)
+    if fold_mode == "roll":
+        # Extract tap l's lane group with a full-width lane roll + leading
+        # slice (both Mosaic-lowerable; a direct lane-offset slice is not),
+        # row-shift the NARROW (rows, Nr) plane, and accumulate.  Replaces
+        # the three (W->128-padded) x (Nr->128-padded) fold matmuls of the
+        # round-3 design with (Lh-1)*3 VPU lane rolls.
+        def fold_plane(P):
+            acc = None
+            for l in range(Lh):
+                g = (P[:, :Nr] if l == 0
+                     else pltpu.roll(P, shift=W - l * Nr, axis=1)[:, :Nr])
+                c = _band_shift(g, l, Bt, Lin, Lout, trunc)
+                acc = c if acc is None else acc + c
+            return acc
+
+        v = fold_plane(Pv)
+        hx_re = fold_plane(Pr)
+        hx_im = fold_plane(Pi)
+    else:
+        # Band shift-accumulate without lane-offset slices (Mosaic cannot
+        # sublane-concat them): mask each tap's lane group elementwise,
+        # shift rows with full-width concats (all at lane offset 0), and
+        # fold the Lh lane groups with a small indicator matmul at the end.
+        group = jax.lax.broadcasted_iota(jnp.int32, (Lin * Bt, W), 1) // Nr
+        acc_v = acc_re = acc_im = None
+        for l in range(Lh):
+            m = group == l
+            cv = _band_shift(jnp.where(m, Pv, 0.0), l, Bt, Lin, Lout, trunc)
+            cr = _band_shift(jnp.where(m, Pr, 0.0), l, Bt, Lin, Lout, trunc)
+            ci = _band_shift(jnp.where(m, Pi, 0.0), l, Bt, Lin, Lout, trunc)
+            acc_v = cv if acc_v is None else acc_v + cv
+            acc_re = cr if acc_re is None else acc_re + cr
+            acc_im = ci if acc_im is None else acc_im + ci
+        # (W, Nr) lane-fold indicator: R[l*Nr + j, j] = 1
+        fold = (jax.lax.broadcasted_iota(jnp.int32, (W, Nr), 0) % Nr
+                == jax.lax.broadcasted_iota(jnp.int32, (W, Nr), 1)
+                ).astype(jnp.float32)
+        v = dot(acc_v, fold)
+        hx_re = dot(acc_re, fold)
+        hx_im = dot(acc_im, fold)
 
     # ---- Onsager residual + variances (`bamp.py:60-61`) ----------------
     w = v / u
@@ -202,8 +231,8 @@ def _linear_iteration(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
         [_band_gather(ri, l, Bt, Lin, Lout, trunc) for l in range(Lh)],
         axis=1)
     cov = 1.0 / dot(G2f * Zc, St_a2)                # (Lin*Bt, Nt)
-    adj_re = dot(Gf * Zr, St_re) + dot(Gf * Zi, St_im)
-    adj_im = dot(Gf * Zi, St_re) - dot(Gf * Zr, St_im)
+    adj_re = dot_x(Gf * Zr, St_re) + dot_x(Gf * Zi, St_im)
+    adj_im = dot_x(Gf * Zi, St_re) - dot_x(Gf * Zr, St_im)
     return (xm_re + cov * adj_re, xm_im + cov * adj_im, cov,
             zn_re, zn_im, un)
 
@@ -249,25 +278,57 @@ def _segment_reduce_mats(Nt: int, M: int):
             (rows_t == cols_t).astype(jnp.float32))
 
 
-def _seg_suffix_max(t, *, Nt, M, pos):
-    """Per-segment max of a (rows, Nt) plane, broadcast back over each
-    segment, via the doubling suffix-max (lane rolls masked at segment
-    boundaries — exact for ANY segment size M) and indicator matmuls."""
-    dot = functools.partial(jnp.dot, **_DOT)
-    Sind, SindT = _segment_reduce_mats(Nt, M)
-    acc = t
+def _seg_reduce_bcast(x, *, Nt, M, pos, op="sum", mode="roll"):
+    """Per-segment reduction of a (rows, Nt) plane, broadcast back over
+    each segment — exact for ANY segment size M.
+
+    'roll': doubling suffix-reduce (lane rolls masked at the segment
+    boundary; exact for sum because the masked ranges tile without
+    overlap) followed by a doubling forward broadcast of the pos-0 head —
+    ``2*ceil(log2 M)`` VPU lane rolls, no matmul.  'matmul': the round-3
+    design — suffix-reduce then two indicator matmuls whose (Nt, Na) /
+    (Na, Nt) operands lane-pad Na up to 128 (16x MXU waste at the
+    flagship Na=8); kept for A/B.
+
+    The sum reduction is an exact 0/1-weighted segment total either way —
+    it feeds the 1e-5 allclose convergence test, so no precision knob.
+    """
+    if op == "sum" and mode == "matmul":
+        # the indicator matmul sums the segment directly — no suffix pass
+        dot = functools.partial(jnp.dot, **_DOT)
+        Sind, SindT = _segment_reduce_mats(Nt, M)
+        return dot(dot(x, Sind), SindT)
+    acc = x
     j = 1
     while j < M:
         # left-roll by j == cyclic roll by Nt - j (shift must be >= 0)
         rolled = pltpu.roll(acc, shift=Nt - j, axis=1)
-        acc = jnp.where(pos + j < M, jnp.maximum(acc, rolled), acc)
+        if op == "sum":
+            acc = jnp.where(pos + j < M, acc + rolled, acc)
+        else:
+            acc = jnp.where(pos + j < M, jnp.maximum(acc, rolled), acc)
         j *= 2
-    head = jnp.where(pos == 0, acc, 0.0)
-    return dot(dot(head, Sind), SindT)
+    if mode == "matmul":
+        dot = functools.partial(jnp.dot, **_DOT)
+        Sind, SindT = _segment_reduce_mats(Nt, M)
+        head = jnp.where(pos == 0, acc, 0.0)
+        return dot(dot(head, Sind), SindT)
+    # Forward broadcast of the head value: right-roll by doubling powers,
+    # taking max against a dominated sentinel (segment sums are >= 1 —
+    # they contain exp(0) at the maximizing lane — and the suffix-max head
+    # dominates -3e38), masked so lanes only receive from their own
+    # segment (source lane p - j stays in-segment exactly when pos >= j).
+    out = jnp.where(pos == 0, acc, 0.0 if op == "sum" else -3e38)
+    j = 1
+    while j < M:
+        rolled = pltpu.roll(out, shift=j, axis=1)
+        out = jnp.where(pos >= j, jnp.maximum(out, rolled), out)
+        j *= 2
+    return out
 
 
 def _seg_denoiser(xr, xi, cov, *, Nt, M, sym_re, sym_im, want_var=True,
-                  halve=True):
+                  halve=True, segred="roll"):
     """General-K segmented softmax posterior on a (rows, Nt) plane
     (`bamp.py:66-77`, tau = cov/2) with the decomposed variance
     (`bamp.py:74-76`) — the in-kernel twin of
@@ -275,25 +336,24 @@ def _seg_denoiser(xr, xi, cov, *, Nt, M, sym_re, sym_im, want_var=True,
     K is small: 1 for OOK ... 8 for 8PSK).  ``want_var=False`` gives the
     mean-only form SCAMP uses (`scamp.py:61-68`); ``halve=False`` drops
     the tau/2 calibration (VAMP, `vamp.py:110`).  ``cov`` broadcasts
-    ((rows, 1) per-trial scalars or full (rows, Nt) planes).  The
-    indicator matmuls stay at HIGHEST regardless of the linear-stage
-    precision: they are exact 0/1 segment reductions of exp() values
-    feeding the 1e-5 allclose convergence test."""
-    dot = functools.partial(jnp.dot, **_DOT)
+    ((rows, 1) per-trial scalars or full (rows, Nt) planes).  Segment
+    reductions are exact 0/1 sums either way (they feed the 1e-5 allclose
+    convergence test); ``segred`` picks rolls vs indicator matmuls."""
     rows = xr.shape[0]
-    Sind, SindT = _segment_reduce_mats(Nt, M)
     pos = jax.lax.broadcasted_iota(jnp.int32, (rows, Nt), 1) % M
     inv = (2.0 if halve else 1.0) / cov
     ts = [(xr * sr + xi * si) * inv for sr, si in zip(sym_re, sym_im)]
     m_lane = ts[0]
     for tk in ts[1:]:
         m_lane = jnp.maximum(m_lane, tk)
-    segmax = _seg_suffix_max(m_lane, Nt=Nt, M=M, pos=pos)
+    segmax = _seg_reduce_bcast(m_lane, Nt=Nt, M=M, pos=pos, op="max",
+                               mode=segred)
     etas = [jnp.exp(tk - segmax) for tk in ts]
     lane_sum = etas[0]
     for e in etas[1:]:
         lane_sum = lane_sum + e
-    eta2 = dot(dot(lane_sum, Sind), SindT)        # per-segment totals >= 1
+    eta2 = _seg_reduce_bcast(lane_sum, Nt=Nt, M=M, pos=pos, op="sum",
+                             mode=segred)         # per-segment totals >= 1
     xm_re = sym_re[0] * etas[0]
     xm_im = sym_im[0] * etas[0]
     for sr, si, e in zip(sym_re[1:], sym_im[1:], etas[1:]):
@@ -344,25 +404,17 @@ def _mix_denoiser(xr, xi, cov, *, sym_re, sym_im, Ps, P0):
     return m_re, m_im, var
 
 
-def _k1_denoiser(xr, xi, cov, *, Nt, M, s0_re, s0_im):
+def _k1_denoiser(xr, xi, cov, *, Nt, M, s0_re, s0_im, segred="roll"):
     """K=1 segmented softmax posterior on a (rows, Nt) plane
     (`bamp.py:66-77`, tau = cov/2; var simplifies to |s0|^2 p (1-p))."""
-    dot = functools.partial(jnp.dot, **_DOT)
     rows = xr.shape[0]
-    Sind, SindT = _segment_reduce_mats(Nt, M)
     pos = jax.lax.broadcasted_iota(jnp.int32, (rows, Nt), 1) % M
     t = 2.0 * (xr * s0_re + xi * s0_im) / cov
-    acc = t                                       # suffix max per segment
-    j = 1
-    while j < M:
-        # left-roll by j == cyclic roll by Nt - j (shift must be >= 0)
-        rolled = pltpu.roll(acc, shift=Nt - j, axis=1)
-        acc = jnp.where(pos + j < M, jnp.maximum(acc, rolled), acc)
-        j *= 2
-    head = jnp.where(pos == 0, acc, 0.0)
-    segmax = dot(dot(head, Sind), SindT)          # broadcast over segment
+    segmax = _seg_reduce_bcast(t, Nt=Nt, M=M, pos=pos, op="max",
+                               mode=segred)
     eta = jnp.exp(t - segmax)                     # <= 1
-    eta2 = dot(dot(eta, Sind), SindT)             # segment sums >= 1
+    eta2 = _seg_reduce_bcast(eta, Nt=Nt, M=M, pos=pos, op="sum",
+                             mode=segred)         # segment sums >= 1
     post = eta / eta2
     var = (s0_re * s0_re + s0_im * s0_im) * post * (1.0 - post)
     return s0_re * post, s0_im * post, var
@@ -427,7 +479,8 @@ def _decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
                    zn_re_o, zn_im_o, un_o, act_o, T_o,
                    *, Lin, Lout, Lh, Nt, Nr, Bt, trunc, M, sym_re, sym_im,
                    precision=jax.lax.Precision.HIGHEST,
-                   den="seg", Ps=0.0, P0=0.0):
+                   den="seg", Ps=0.0, P0=0.0,
+                   x_precision=None, fold_mode="roll", segred="roll"):
     """The WHOLE BAMP decode for one trial tile in a single kernel: an
     in-kernel ``while_loop`` runs complete iterations (linear maps +
     segmented denoiser + per-trial freeze + convergence) with all state
@@ -447,7 +500,8 @@ def _decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
     taps = (S_re_ref[:], S_im_ref[:], S_a2_ref[:],
             St_re_ref[:], St_im_ref[:], St_a2_ref[:], Gf_ref[:], G2f_ref[:])
     geom = dict(Lin=Lin, Lout=Lout, Lh=Lh, Nt=Nt, Nr=Nr, Bt=Bt, trunc=trunc,
-                precision=precision)
+                precision=precision, x_precision=x_precision,
+                fold_mode=fold_mode)
     init = (jnp.int32(0), act_ref[:], T_ref[:],
             _x2d(xmap_re_ref, Bt, Nt), _x2d(xmap_im_ref, Bt, Nt),
             _x2d(xm_re_ref, Bt, Nt), _x2d(xm_im_ref, Bt, Nt),
@@ -468,7 +522,8 @@ def _decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
                                                sym_im=sym_im, Ps=Ps, P0=P0)
         else:
             dn_re, dn_im, varn = _seg_denoiser(xr, xi, cov, Nt=Nt, M=M,
-                                               sym_re=sym_re, sym_im=sym_im)
+                                               sym_re=sym_re, sym_im=sym_im,
+                                               segred=segred)
         # per-trial torch.allclose(var_new, var_old) (`bamp.py:140`)
         bad = (jnp.abs(varn - var)
                > 1e-8 + 1e-5 * jnp.abs(var)).astype(jnp.float32)
@@ -690,6 +745,7 @@ class FusedBandedDecode(_PlaneKernelBase):
                  symbols=None, M: int = 0,
                  precision=jax.lax.Precision.HIGHEST,
                  den: str = "seg", Ps: float = 0.0, P0: float = 0.0):
+        import os
         if symbols is None or len(symbols) < 1:
             raise ValueError("whole-decode kernel needs a symbol table")
         if den not in ("seg", "mix"):
@@ -697,6 +753,12 @@ class FusedBandedDecode(_PlaneKernelBase):
         if den == "seg" and M <= 0:
             raise ValueError("whole-decode kernel needs segment size M")
         self.den, self.Ps, self.P0 = den, float(Ps), float(P0)
+        # A/B experiment knobs (round-4 kernel ladder; defaults are the
+        # measured winners — see scripts/profile_kernel_stages.py).
+        self.fold_mode = os.environ.get("AMP_KERNEL_FOLD", "roll")
+        self.segred = os.environ.get("AMP_KERNEL_SEGRED", "roll")
+        xp = os.environ.get("AMP_KERNEL_XMAP_PRECISION", "")
+        self.x_precision = xp if xp else None
         syms = [complex(s) for s in symbols]
         self.sym_re = tuple(np.float32(s.real) for s in syms)
         self.sym_im = tuple(np.float32(s.imag) for s in syms)
@@ -742,7 +804,9 @@ class FusedBandedDecode(_PlaneKernelBase):
             _decode_kernel, Lin=Lin, Lout=Lout, Lh=Lh, Nt=Nt, Nr=Nr,
             Bt=tile, trunc=trunc, M=self.M, sym_re=self.sym_re,
             sym_im=self.sym_im, precision=self.precision,
-            den=self.den, Ps=self.Ps, P0=self.P0)
+            den=self.den, Ps=self.Ps, P0=self.P0,
+            x_precision=self.x_precision, fold_mode=self.fold_mode,
+            segred=self.segred)
         # inputs: 0 sigma2, 1 cap, 2 act, 3 T, 4-8 x-planes, 9-11 z/u,
         # 12-13 y, 14-21 taps/gains; outputs: 0-4 x-planes, 5-7 z/u,
         # 8 act, 9 T

@@ -230,10 +230,14 @@ def make_sharded_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
     two-phase path (same keys → same decode); only the float reduction
     order of the metric sums differs.
 
-    Returns ``(phase1, phase23, eval_all)``:
-      phase1(keys, snr) -> (msg, y, state), leading dim D*C, sharded
-      phase23(keys, pad_idx, msg, y, state, snr) -> psum-reduced sums
-      eval_all(state, msg) -> psum-reduced sums (no-tail fast path)
+    Returns ``(phase1, phase23, eval_all, model_size)``:
+      phase1(keys, snr) -> (y, state), leading dim D*C, sharded
+      phase23(keys, pad_idx, y, state, snr) -> psum-reduced sums
+      eval_all(keys, state) -> psum-reduced sums (no-tail fast path)
+
+    The ground-truth message never crosses phases — it is regenerated
+    from the keys at evaluation time (see
+    :func:`..models.montecarlo.make_two_phase_core`).
 
     On a mesh with a non-trivial ``model`` axis the decode itself is
     model-parallel (halo BAMP/SCAMP, SV-domain VAMP) and the tail
@@ -269,19 +273,19 @@ def make_sharded_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
                 f"fns were built with chans_per_device={C}")
         return map_c(lambda k: core.phase1(k, snr), keys[0])
 
-    def p23_dev(keys, pad_idx, msg, y, state, snr):
-        def one(k, pidx, msg_c, y_c, st_c):
+    def p23_dev(keys, pad_idx, y, state, snr):
+        def one(k, pidx, y_c, st_c):
             sub = montecarlo.state_take_trials(st_c, pidx)
             s_fin = core.phase2(k, y_c[pidx], sub, snr)
-            return core.scatter_eval(st_c, s_fin, pidx, msg_c)
+            return core.scatter_eval(k, st_c, s_fin, pidx)
 
-        sums = map_c(one, keys[0], pad_idx, msg, y, state)
+        sums = map_c(one, keys[0], pad_idx, y, state)
         sums = jax.tree_util.tree_map(lambda x: x.sum(axis=0), sums)
         return jax.tree_util.tree_map(
             lambda x: lax.psum(x, TRIALS_AXIS), sums)
 
-    def eval_dev(state, msg):
-        sums = jax.vmap(core.evaluate)(state, msg)
+    def eval_dev(keys, state):
+        sums = jax.vmap(core.evaluate)(keys[0], state)
         sums = jax.tree_util.tree_map(lambda x: x.sum(axis=0), sums)
         return jax.tree_util.tree_map(
             lambda x: lax.psum(x, TRIALS_AXIS), sums)
@@ -292,11 +296,11 @@ def make_sharded_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
         check_vma=False))
     phase23 = jax.jit(jax.shard_map(
         p23_dev, mesh=mesh,
-        in_specs=(P(T), P(T), P(T), P(T), P(T), P()), out_specs=P(),
-        check_vma=False))
+        in_specs=(P(T), P(T), P(T), P(T), P()), out_specs=P(),
+        check_vma=False), donate_argnums=(3,))
     eval_all = jax.jit(jax.shard_map(
         eval_dev, mesh=mesh, in_specs=(P(T), P(T)), out_specs=P(),
-        check_vma=False))
+        check_vma=False), donate_argnums=(1,))
     return ShardedTwoPhaseFns(phase1, phase23, eval_all, model_size=1)
 
 
@@ -432,13 +436,15 @@ def _make_tp_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
     def unpack(tree):
         return jax.tree_util.tree_map(lambda a: a[0, 0], tree)
 
-    def eval_from_state(st, msg):
+    def eval_from_state(key, st):
         if algo == "vamp":
             stat = tensor.gather_columns(st.r)
             xmmse = tensor.gather_columns(st.xmmse)
         else:
             stat = banded.gather_columns(st.xmap)
             xmmse = banded.gather_columns(st.xmmse)
+        _, k_msg, _ = jax.random.split(key, 3)
+        msg = message_ops.generate_message(k_msg, cfg, res)
         sums = metrics.evaluate_sums(stat, xmmse, msg, st.T, cfg)
         # Sums are identical across the model axis; psum over both axes
         # and de-duplicate (same reduction as the single-phase TP step).
@@ -453,34 +459,34 @@ def _make_tp_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
         ctx = build_ctx(k_chan)
         y = build_y(ctx, msg, noise)
         st = tp_decode(ctx, y, sigma2, None, k1)
-        return pack(msg), y[None, None], pack(st)
+        return y[None, None], pack(st)
 
-    def p23_dev(keys, pad_idx, msg, y, state, snr):
+    def p23_dev(keys, pad_idx, y, state, snr):
         k_chan, _, _ = jax.random.split(keys[0, 0], 3)
         sigma2 = cfg.E / snr
         pidx = pad_idx[0]
-        msg_l, y_l, st = unpack(msg), y[0, 0], unpack(state)
+        y_l, st = y[0, 0], unpack(state)
         ctx = build_ctx(k_chan)
         sub = montecarlo.state_take_trials(st, pidx)
         s_fin = tp_decode(ctx, y_l[pidx], sigma2, sub, None)
         merged = montecarlo.state_merge_trials(st, s_fin, pidx)
-        return eval_from_state(merged, msg_l)
+        return eval_from_state(keys[0, 0], merged)
 
-    def eval_dev(state, msg):
-        return eval_from_state(unpack(state), unpack(msg))
+    def eval_dev(keys, state):
+        return eval_from_state(keys[0, 0], unpack(state))
 
     T, M = TRIALS_AXIS, MODEL_AXIS
     SP = P(T, M)
     phase1 = jax.jit(jax.shard_map(
         p1_dev, mesh=mesh, in_specs=(P(T), P()),
-        out_specs=(SP, SP, SP), check_vma=False))
+        out_specs=(SP, SP), check_vma=False))
     phase23 = jax.jit(jax.shard_map(
         p23_dev, mesh=mesh,
-        in_specs=(P(T), P(T), SP, SP, SP, P()), out_specs=P(),
-        check_vma=False))
+        in_specs=(P(T), P(T), SP, SP, P()), out_specs=P(),
+        check_vma=False), donate_argnums=(3,))
     eval_all = jax.jit(jax.shard_map(
-        eval_dev, mesh=mesh, in_specs=(SP, SP), out_specs=P(),
-        check_vma=False))
+        eval_dev, mesh=mesh, in_specs=(P(T), SP), out_specs=P(),
+        check_vma=False), donate_argnums=(1,))
     return ShardedTwoPhaseFns(phase1, phase23, eval_all, model_size=tp)
 
 
@@ -491,7 +497,7 @@ def run_sharded_two_phase(fns: ShardedTwoPhaseFns, keys, snr, res: int,
     ``keys`` is ``(D, C, 2)``; only the per-trial ``active`` booleans cross
     to the host between phases."""
     phase1, phase23, eval_all, model_size = fns
-    msg, y, state = phase1(keys, snr)
+    y, state = phase1(keys, snr)
     active = np.asarray(state.active)               # (D*C, res)
     if model_size > 1:
         # (trials, model, res) stacking on a model>1 mesh; the verdicts
@@ -499,7 +505,7 @@ def run_sharded_two_phase(fns: ShardedTwoPhaseFns, keys, snr, res: int,
         active = active[:, 0, :]
     n_max = int(active.sum(axis=1).max())
     if n_max == 0:
-        return eval_all(state, msg)
+        return eval_all(keys, state)
     bucket = max(min_bucket, 1 << (n_max - 1).bit_length())
     bucket = min(bucket, res)
     pad_rows = []
@@ -509,7 +515,7 @@ def run_sharded_two_phase(fns: ShardedTwoPhaseFns, keys, snr, res: int,
         pad_rows.append(np.concatenate(
             [idx, np.full(bucket - len(idx), fill, np.int64)]))
     pad_idx = jnp.asarray(np.stack(pad_rows))
-    return phase23(keys, pad_idx, msg, y, state, snr)
+    return phase23(keys, pad_idx, y, state, snr)
 
 
 class ShardedSimulator(montecarlo.Simulator):

@@ -1,0 +1,198 @@
+"""Stage-by-stage cycle budget of the whole-decode BAMP Pallas kernel.
+
+VERDICT r3 item 1: 9.3% MFU with VMEM-resident state means the missing
+time is INSIDE the kernel.  This measures fixed-trip-count variants of the
+kernel body at the flagship geometry (no early exit, no convergence
+dependence — every variant runs exactly NIT iterations), isolating:
+
+  linear      the 10 main banded matmuls + band shift/gather + Onsager
+  +denoiser   ... plus the K=1 segmented softmax
+  full        ... plus the allclose bad-count + per-trial freeze selects
+
+and A/Bs the round-4 ladder knobs on the full body:
+
+  fold=matmul|roll     tap lane-group fold (3 padded matmuls vs VPU rolls)
+  segred=matmul|roll   denoiser segment reduce (4 padded matmuls vs rolls)
+  xmap=highest|high    Pr/Pi/adjoint matmul precision (6-pass vs 3-pass)
+
+Usage: timeout 1200 python scripts/profile_kernel_stages.py [B] [NIT]
+"""
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from amp_sparc_spatialmodulation_tpu.config import flagship_bamp_ook
+from amp_sparc_spatialmodulation_tpu.ops import operators
+from amp_sparc_spatialmodulation_tpu.ops.pallas import fused_bamp as fb
+from amp_sparc_spatialmodulation_tpu.utils.cache import (
+    enable_persistent_cache)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_timer(fd, B, NIT, *, stage="full", fold_mode="roll",
+               segred="roll", x_precision=None):
+    Lin, Lout, Lh, Nt, Nr, tile, trunc = fd.geom
+    geom = dict(Lin=Lin, Lout=Lout, Lh=Lh, Nt=Nt, Nr=Nr, Bt=tile,
+                trunc=trunc, precision=fd.precision,
+                x_precision=x_precision, fold_mode=fold_mode)
+    M = fd.M
+    s0_re, s0_im = fd.sym_re[0], fd.sym_im[0]
+
+    def kern(sigma2_ref, xm_re_ref, xm_im_ref, var_ref, z_re_ref, z_im_ref,
+             u_ref, y_re_ref, y_im_ref, S_re_ref, S_im_ref, S_a2_ref,
+             St_re_ref, St_im_ref, St_a2_ref, Gf_ref, G2f_ref,
+             xn_re_o, xn_im_o, varn_o, zn_re_o, zn_im_o, un_o, nk_o):
+        sigma2 = sigma2_ref[0]
+        x2 = lambda r, n: r[:].reshape(-1, n)
+        y_re, y_im = x2(y_re_ref, Nr), x2(y_im_ref, Nr)
+        taps = (S_re_ref[:], S_im_ref[:], S_a2_ref[:], St_re_ref[:],
+                St_im_ref[:], St_a2_ref[:], Gf_ref[:], G2f_ref[:])
+        init = (x2(xm_re_ref, Nt), x2(xm_im_ref, Nt), x2(var_ref, Nt),
+                x2(z_re_ref, Nr), x2(z_im_ref, Nr), x2(u_ref, Nr),
+                jnp.zeros((tile, 1), jnp.float32))
+
+        def body(_, c):
+            xm_re, xm_im, var, z_re, z_im, u, nk = c
+            if stage == "den":
+                dn_re, dn_im, varn = fb._k1_denoiser(
+                    xm_re, xm_im, var + 1.0, Nt=Nt, M=M, s0_re=s0_re,
+                    s0_im=s0_im, segred=segred)
+                # keep magnitudes bounded so the loop can't overflow
+                return (0.5 * xm_re + dn_re, 0.5 * xm_im + dn_im,
+                        0.5 * var + varn, z_re, z_im, u, nk)
+            xr, xi, cov, zn_re, zn_im, un = fb._linear_iteration(
+                sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
+                *taps, **geom)
+            if stage == "linear":
+                return (0.1 * xr, 0.1 * xi, jnp.minimum(cov, 1.0),
+                        0.5 * zn_re, 0.5 * zn_im, jnp.minimum(un, 4.0), nk)
+            dn_re, dn_im, varn = fb._k1_denoiser(
+                xr, xi, cov, Nt=Nt, M=M, s0_re=s0_re, s0_im=s0_im,
+                segred=segred)
+            if stage == "noconv":
+                return dn_re, dn_im, varn, zn_re, zn_im, un, nk
+            # full: allclose bad-count + per-trial freeze selects with an
+            # all-ones active mask (same op mix as production, fixed trips)
+            bad = (jnp.abs(varn - var)
+                   > 1e-8 + 1e-5 * jnp.abs(var)).astype(jnp.float32)
+            nb = bad.sum(axis=1, keepdims=True)
+            notok = nb[:tile]
+            for l in range(1, Lin):
+                notok = notok + nb[l * tile:(l + 1) * tile]
+            act = jnp.ones((tile, 1), jnp.float32)
+            mx = jnp.concatenate([act] * Lin, axis=0)
+            my = jnp.concatenate([act] * Lout, axis=0)
+            sel = lambda m, new, old: jnp.where(m > 0.0, new, old)
+            return (sel(mx, dn_re, xm_re), sel(mx, dn_im, xm_im),
+                    sel(mx, varn, var), sel(my, zn_re, z_re),
+                    sel(my, zn_im, z_im), sel(my, un, u), nk + notok)
+
+        out = jax.lax.fori_loop(0, NIT, body, init)
+        xm_re, xm_im, var, z_re, z_im, u, nk = out
+        xn_re_o[:] = xm_re.reshape(Lin, tile, Nt)
+        xn_im_o[:] = xm_im.reshape(Lin, tile, Nt)
+        varn_o[:] = var.reshape(Lin, tile, Nt)
+        zn_re_o[:] = z_re.reshape(Lout, tile, Nr)
+        zn_im_o[:] = z_im.reshape(Lout, tile, Nr)
+        un_o[:] = u.reshape(Lout, tile, Nr)
+        nk_o[:] = nk
+
+    grid = (B // tile,)
+    xspec = lambda: pl.BlockSpec((Lin, tile, Nt), lambda i: (0, i, 0),
+                                 memory_space=pltpu.VMEM)
+    yspec = lambda: pl.BlockSpec((Lout, tile, Nr), lambda i: (0, i, 0),
+                                 memory_space=pltpu.VMEM)
+    aspec = lambda: pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    x_shape = jax.ShapeDtypeStruct((Lin, B, Nt), jnp.float32)
+    y_shape = jax.ShapeDtypeStruct((Lout, B, Nr), jnp.float32)
+
+    def run(sigma2, planes):
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [xspec()] * 3 + [yspec()] * 5 + [full()] * 8,
+            out_specs=[xspec()] * 3 + [yspec()] * 3 + [aspec()],
+            out_shape=[x_shape] * 3 + [y_shape] * 3
+            + [jax.ShapeDtypeStruct((B, 1), jnp.float32)],
+            input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+        )(sigma2, *planes, fd.S_re, fd.S_im, fd.S_a2,
+          fd.S_re.T, fd.S_im.T, fd.S_a2.T, fd.Gf, fd.G2f)
+
+    return jax.jit(run)
+
+
+def main():
+    enable_persistent_cache()
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    NIT = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    cfg = flagship_bamp_ook()
+    key = jax.random.PRNGKey(0)
+    _, op = operators.banded_sparc(key, cfg)
+    fd = fb.FusedBandedDecode(op, B, symbols=cfg.symbols, M=cfg.M)
+    Lin, Lout, Lh, Nt, Nr, tile, trunc = fd.geom
+    log(f"platform={jax.default_backend()} B={B} NIT={NIT} tile={tile}")
+
+    k1, k2 = jax.random.split(key)
+    mk_x = lambda k: jax.random.normal(k, (Lin, B, Nt), jnp.float32) * 0.1
+    mk_y = lambda k: jax.random.normal(k, (Lout, B, Nr), jnp.float32) * 0.1
+    ks = jax.random.split(k1, 8)
+    planes = (mk_x(ks[0]), mk_x(ks[1]), jnp.abs(mk_x(ks[2])) + 0.5,
+              mk_y(ks[3]), mk_y(ks[4]), jnp.abs(mk_y(ks[5])) + 0.5,
+              mk_y(ks[6]), mk_y(ks[7]))
+    sigma2 = jnp.asarray([0.05], jnp.float32)
+
+    variants = [
+        ("linear/roll", dict(stage="linear")),
+        ("linear/matmulfold", dict(stage="linear", fold_mode="matmul")),
+        ("den/roll", dict(stage="den")),
+        ("den/matmul", dict(stage="den", segred="matmul")),
+        ("noconv/roll", dict(stage="noconv")),
+        ("full/roll+roll", dict(stage="full")),
+        ("full/matmul+matmul", dict(stage="full", fold_mode="matmul",
+                                    segred="matmul")),
+        ("full/roll+roll/xmap=high", dict(stage="full",
+                                          x_precision="high")),
+        ("linear/roll/xmap=high", dict(stage="linear",
+                                       x_precision="high")),
+    ]
+    useful_flop = 3.69e6  # per iter per trial (bench.py roofline)
+    results = {}
+    for name, kw in variants:
+        timer = make_timer(fd, B, NIT, **kw)
+        out = timer(sigma2, planes)
+        jax.block_until_ready(out)
+        best = 1e9
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = timer(sigma2, planes)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        ns_it = best / NIT / B * 1e9
+        tfs = useful_flop * NIT * B / best / 1e12
+        results[name] = (best, ns_it, tfs)
+        log(f"{name:32s} {best*1e3:8.2f} ms  {ns_it:7.1f} ns/iter/trial  "
+            f"useful {tfs:5.2f} TFLOP/s")
+    # derived splits
+    if "full/roll+roll" in results and "noconv/roll" in results:
+        conv = results["full/roll+roll"][1] - results["noconv/roll"][1]
+        den = results["noconv/roll"][1] - results["linear/roll"][1]
+        log(f"\nderived: conv-test+freeze {conv:.1f} ns/it/trial, "
+            f"denoiser {den:.1f}, linear {results['linear/roll'][1]:.1f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -167,3 +167,19 @@ def test_mi_awgn2_matches_reference_routine_real_alphabet():
     got_c = info_theory.mi_awgn2(xc, pmf_x, np.array([0.5]), N=81)
     got_c2 = info_theory.mi_awgn(xc, pmf_x, noise_var=np.array([0.5]), N=81)
     np.testing.assert_allclose(got_c, got_c2, rtol=1e-12)
+
+
+def test_capacity_device_mi_matches_host_routine():
+    """The batched device MI kernel must agree with the host-side
+    _mutual_information reference twin (`capacity.py:101-137`)."""
+    from amp_sparc_spatialmodulation_tpu.models.capacity import InfoTheory
+
+    cfg = _cfg()
+    it = InfoTheory(cfg, out_root="/tmp/cap_mi_test")
+    rng = np.random.default_rng(0)
+    g = np.sort(rng.gamma(2.0, 1.0, size=12))[::-1].astype(np.float32)
+    snr = 10 ** 0.8
+    host = it._mutual_information(g, snr, N=50)
+    dev = float(np.asarray(it._mi_device_fn(50)(
+        np.asarray(g)[None, :], np.float32(snr)))[0])
+    np.testing.assert_allclose(dev, host, rtol=2e-4)
