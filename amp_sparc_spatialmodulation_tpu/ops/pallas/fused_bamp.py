@@ -145,7 +145,7 @@ def _linear_iteration(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
                       S_re, S_im, S_a2, St_re, St_im, St_a2, Gf_s, G2f_s,
                       *, Lin, Lout, Lh, Nt, Nr, Bt, trunc,
                       precision=jax.lax.Precision.HIGHEST,
-                      x_precision=None, fold_mode="roll"):
+                      x_precision=None, fold_mode="roll", cmul="gauss"):
     """One iteration's linear part on the collapsed big planes.
 
     Inputs are ``(Lin*Bt, Nt)`` x-side / ``(Lout*Bt, Nr)`` y-side values;
@@ -167,27 +167,56 @@ def _linear_iteration(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
     Gf, G2f = Gf_s, G2f_s
     # ---- forward: one big matmul per plane, then Lh slice-adds ---------
     Pv = G2f * dot(var, S_a2)                       # (Lin*Bt, Lh*Nr)
-    Pr = Gf * (dot_x(xm_re, S_re) - dot_x(xm_im, S_im))
-    Pi = Gf * (dot_x(xm_im, S_re) + dot_x(xm_re, S_im))
+    if cmul == "gauss":
+        # Gauss 3-multiplication complex product: (a+ib)(c+id) via
+        # k1=(a+b)@c, k2=a@(d-c), k3=b@(c+d); re=k1-k3, im=k1+k2.
+        # 3 MXU matmuls instead of 4 at unchanged output precision
+        # (the operand sums are exact f32 adds, then the same HIGHEST
+        # 6-pass decomposition) — the stage profiler measures the 10
+        # main matmuls as ~82% of the kernel body, so dropping 4 of
+        # them to 3 is the cheapest parity-safe MXU saving.  The tap
+        # combos are (Nt, Lh*Nr) VPU adds recomputed per iteration
+        # (resident-hoisting cost the VAMP kernel 100M spill slots).
+        dmc = S_im - S_re
+        cpd = S_re + S_im
+        k1 = dot_x(xm_re + xm_im, S_re)
+        k2 = dot_x(xm_re, dmc)
+        k3 = dot_x(xm_im, cpd)
+        Pr = Gf * (k1 - k3)
+        Pi = Gf * (k1 + k2)
+    else:
+        Pr = Gf * (dot_x(xm_re, S_re) - dot_x(xm_im, S_im))
+        Pi = Gf * (dot_x(xm_im, S_re) + dot_x(xm_re, S_im))
     W = Lh * Nr
     if fold_mode == "roll":
-        # Extract tap l's lane group with a full-width lane roll + leading
-        # slice (both Mosaic-lowerable; a direct lane-offset slice is not),
-        # row-shift the NARROW (rows, Nr) plane, and accumulate.  Replaces
-        # the three (W->128-padded) x (Nr->128-padded) fold matmuls of the
-        # round-3 design with (Lh-1)*3 VPU lane rolls.
-        def fold_plane(P):
-            acc = None
-            for l in range(Lh):
-                g = (P[:, :Nr] if l == 0
-                     else pltpu.roll(P, shift=W - l * Nr, axis=1)[:, :Nr])
-                c = _band_shift(g, l, Bt, Lin, Lout, trunc)
-                acc = c if acc is None else acc + c
-            return acc
+        # Masked full-width band shift-accumulate (identical to 'matmul'
+        # mode — every concat operand stays at lane offset 0, which Mosaic
+        # requires), then fold the Lh lane groups with (Lh-1)*3 VPU lane
+        # rolls instead of the three (W->128-padded) x (Nr->128-padded)
+        # indicator matmuls.  The rolled operands carry lane-offset
+        # layouts, so they must only feed elementwise adds + a leading
+        # slice (Mosaic relayouts those; it cannot sublane-concat them —
+        # the reason the shift must happen BEFORE the fold).
+        group = jax.lax.broadcasted_iota(jnp.int32, (Lin * Bt, W), 1) // Nr
+        acc_v = acc_re = acc_im = None
+        for l in range(Lh):
+            m = group == l
+            cv = _band_shift(jnp.where(m, Pv, 0.0), l, Bt, Lin, Lout, trunc)
+            cr = _band_shift(jnp.where(m, Pr, 0.0), l, Bt, Lin, Lout, trunc)
+            ci = _band_shift(jnp.where(m, Pi, 0.0), l, Bt, Lin, Lout, trunc)
+            acc_v = cv if acc_v is None else acc_v + cv
+            acc_re = cr if acc_re is None else acc_re + cr
+            acc_im = ci if acc_im is None else acc_im + ci
 
-        v = fold_plane(Pv)
-        hx_re = fold_plane(Pr)
-        hx_im = fold_plane(Pi)
+        def lanefold(acc):
+            s = acc
+            for l in range(1, Lh):
+                s = s + pltpu.roll(acc, shift=W - l * Nr, axis=1)
+            return s[:, :Nr]
+
+        v = lanefold(acc_v)
+        hx_re = lanefold(acc_re)
+        hx_im = lanefold(acc_im)
     else:
         # Band shift-accumulate without lane-offset slices (Mosaic cannot
         # sublane-concat them): mask each tap's lane group elementwise,
@@ -231,8 +260,18 @@ def _linear_iteration(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
         [_band_gather(ri, l, Bt, Lin, Lout, trunc) for l in range(Lh)],
         axis=1)
     cov = 1.0 / dot(G2f * Zc, St_a2)                # (Lin*Bt, Nt)
-    adj_re = dot_x(Gf * Zr, St_re) + dot_x(Gf * Zi, St_im)
-    adj_im = dot_x(Gf * Zi, St_re) - dot_x(Gf * Zr, St_im)
+    if cmul == "gauss":
+        # adjoint wants re=A@c+B@d, im=B@c-A@d — the forward identity
+        # with d -> -d: k1=(A+B)@c, k2=A@(-d-c), k3=B@(c-d).
+        A, Bp = Gf * Zr, Gf * Zi
+        k1 = dot_x(A + Bp, St_re)
+        k2 = dot_x(A, -St_im - St_re)
+        k3 = dot_x(Bp, St_re - St_im)
+        adj_re = k1 - k3
+        adj_im = k1 + k2
+    else:
+        adj_re = dot_x(Gf * Zr, St_re) + dot_x(Gf * Zi, St_im)
+        adj_im = dot_x(Gf * Zi, St_re) - dot_x(Gf * Zr, St_im)
     return (xm_re + cov * adj_re, xm_im + cov * adj_im, cov,
             zn_re, zn_im, un)
 
@@ -480,7 +519,8 @@ def _decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
                    *, Lin, Lout, Lh, Nt, Nr, Bt, trunc, M, sym_re, sym_im,
                    precision=jax.lax.Precision.HIGHEST,
                    den="seg", Ps=0.0, P0=0.0,
-                   x_precision=None, fold_mode="roll", segred="roll"):
+                   x_precision=None, fold_mode="roll", segred="roll",
+                   cmul="gauss"):
     """The WHOLE BAMP decode for one trial tile in a single kernel: an
     in-kernel ``while_loop`` runs complete iterations (linear maps +
     segmented denoiser + per-trial freeze + convergence) with all state
@@ -501,7 +541,7 @@ def _decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
             St_re_ref[:], St_im_ref[:], St_a2_ref[:], Gf_ref[:], G2f_ref[:])
     geom = dict(Lin=Lin, Lout=Lout, Lh=Lh, Nt=Nt, Nr=Nr, Bt=Bt, trunc=trunc,
                 precision=precision, x_precision=x_precision,
-                fold_mode=fold_mode)
+                fold_mode=fold_mode, cmul=cmul)
     init = (jnp.int32(0), act_ref[:], T_ref[:],
             _x2d(xmap_re_ref, Bt, Nt), _x2d(xmap_im_ref, Bt, Nt),
             _x2d(xm_re_ref, Bt, Nt), _x2d(xm_im_ref, Bt, Nt),
@@ -757,6 +797,7 @@ class FusedBandedDecode(_PlaneKernelBase):
         # measured winners — see scripts/profile_kernel_stages.py).
         self.fold_mode = os.environ.get("AMP_KERNEL_FOLD", "roll")
         self.segred = os.environ.get("AMP_KERNEL_SEGRED", "roll")
+        self.cmul = os.environ.get("AMP_KERNEL_CMUL", "gauss")
         xp = os.environ.get("AMP_KERNEL_XMAP_PRECISION", "")
         self.x_precision = xp if xp else None
         syms = [complex(s) for s in symbols]
@@ -806,7 +847,7 @@ class FusedBandedDecode(_PlaneKernelBase):
             sym_im=self.sym_im, precision=self.precision,
             den=self.den, Ps=self.Ps, P0=self.P0,
             x_precision=self.x_precision, fold_mode=self.fold_mode,
-            segred=self.segred)
+            segred=self.segred, cmul=self.cmul)
         # inputs: 0 sigma2, 1 cap, 2 act, 3 T, 4-8 x-planes, 9-11 z/u,
         # 12-13 y, 14-21 taps/gains; outputs: 0-4 x-planes, 5-7 z/u,
         # 8 act, 9 T

@@ -39,11 +39,11 @@ def log(*a):
 
 
 def make_timer(fd, B, NIT, *, stage="full", fold_mode="roll",
-               segred="roll", x_precision=None):
+               segred="roll", x_precision=None, cmul="gauss"):
     Lin, Lout, Lh, Nt, Nr, tile, trunc = fd.geom
     geom = dict(Lin=Lin, Lout=Lout, Lh=Lh, Nt=Nt, Nr=Nr, Bt=tile,
                 trunc=trunc, precision=fd.precision,
-                x_precision=x_precision, fold_mode=fold_mode)
+                x_precision=x_precision, fold_mode=fold_mode, cmul=cmul)
     M = fd.M
     s0_re, s0_im = fd.sym_re[0], fd.sym_im[0]
 
@@ -117,7 +117,9 @@ def make_timer(fd, B, NIT, *, stage="full", fold_mode="roll",
     x_shape = jax.ShapeDtypeStruct((Lin, B, Nt), jnp.float32)
     y_shape = jax.ShapeDtypeStruct((Lout, B, Nr), jnp.float32)
 
-    def run(sigma2, planes):
+    taps_args = fd.profiler_taps
+
+    def run(sigma2, planes, taps):
         return pl.pallas_call(
             kern,
             grid=grid,
@@ -126,13 +128,12 @@ def make_timer(fd, B, NIT, *, stage="full", fold_mode="roll",
             out_specs=[xspec()] * 3 + [yspec()] * 3 + [aspec()],
             out_shape=[x_shape] * 3 + [y_shape] * 3
             + [jax.ShapeDtypeStruct((B, 1), jnp.float32)],
-            input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
-        )(sigma2, *planes, fd.S_re, fd.S_im, fd.S_a2,
-          fd.S_re.T, fd.S_im.T, fd.S_a2.T, fd.Gf, fd.G2f)
+        )(sigma2, *planes, *taps)
 
-    return jax.jit(run)
+    jitted = jax.jit(run)
+    return lambda sigma2, planes: jitted(sigma2, planes, taps_args)
 
 
 def main():
@@ -141,22 +142,49 @@ def main():
     NIT = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     cfg = flagship_bamp_ook()
     key = jax.random.PRNGKey(0)
-    _, op = operators.banded_sparc(key, cfg)
-    fd = fb.FusedBandedDecode(op, B, symbols=cfg.symbols, M=cfg.M)
+
+    # The kernel object and its tap planes must be built INSIDE a jit
+    # trace: the eager complex64 ops in banded_sparc are UNIMPLEMENTED on
+    # the remote-TPU axon backend, and one poisoned eager dispatch makes
+    # every later fetch in the process fail (production never sees this —
+    # there the operator is traced per realization).  Static metadata is
+    # smuggled out through a holder.
+    holder = {}
+
+    @jax.jit
+    def mk_taps(k):
+        _, op2 = operators.banded_sparc(k, cfg)
+        f2 = fb.FusedBandedDecode(op2, B, symbols=cfg.symbols, M=cfg.M)
+        holder["fd"] = f2
+        return (f2.S_re, f2.S_im, f2.S_a2, f2.S_re.T, f2.S_im.T,
+                f2.S_a2.T, f2.Gf, f2.G2f)
+
+    taps = mk_taps(key)
+    fd = holder["fd"]
+    fd.profiler_taps = taps
     Lin, Lout, Lh, Nt, Nr, tile, trunc = fd.geom
     log(f"platform={jax.default_backend()} B={B} NIT={NIT} tile={tile}")
 
-    k1, k2 = jax.random.split(key)
-    mk_x = lambda k: jax.random.normal(k, (Lin, B, Nt), jnp.float32) * 0.1
-    mk_y = lambda k: jax.random.normal(k, (Lout, B, Nr), jnp.float32) * 0.1
-    ks = jax.random.split(k1, 8)
-    planes = (mk_x(ks[0]), mk_x(ks[1]), jnp.abs(mk_x(ks[2])) + 0.5,
-              mk_y(ks[3]), mk_y(ks[4]), jnp.abs(mk_y(ks[5])) + 0.5,
-              mk_y(ks[6]), mk_y(ks[7]))
+    # Inputs are built INSIDE jit: several eager op paths (complex64
+    # arithmetic, some rng shapes) are UNIMPLEMENTED on the remote-TPU
+    # axon backend and poison every downstream fetch.
+    @jax.jit
+    def mk_planes(key):
+        k1, _ = jax.random.split(key)
+        mk_x = lambda k: jax.random.normal(k, (Lin, B, Nt)) * 0.1
+        mk_y = lambda k: jax.random.normal(k, (Lout, B, Nr)) * 0.1
+        ks = jax.random.split(k1, 8)
+        return (mk_x(ks[0]), mk_x(ks[1]), jnp.abs(mk_x(ks[2])) + 0.5,
+                mk_y(ks[3]), mk_y(ks[4]), jnp.abs(mk_y(ks[5])) + 0.5,
+                mk_y(ks[6]), mk_y(ks[7]))
+
+    planes = mk_planes(key)
     sigma2 = jnp.asarray([0.05], jnp.float32)
 
     variants = [
         ("linear/roll", dict(stage="linear")),
+        ("linear/roll/cmul=std", dict(stage="linear", cmul="standard")),
+        ("full/roll+roll/cmul=std", dict(stage="full", cmul="standard")),
         ("linear/matmulfold", dict(stage="linear", fold_mode="matmul")),
         ("den/roll", dict(stage="den")),
         ("den/matmul", dict(stage="den", segred="matmul")),
@@ -171,15 +199,18 @@ def main():
     ]
     useful_flop = 3.69e6  # per iter per trial (bench.py roofline)
     results = {}
+    # On the remote-TPU tunnel, block_until_ready does not actually wait;
+    # only a host fetch of a value does (same reason bench.py times around
+    # fetch_sums).  Reduce one output to a scalar and .item() it.
     for name, kw in variants:
         timer = make_timer(fd, B, NIT, **kw)
-        out = timer(sigma2, planes)
-        jax.block_until_ready(out)
+        fetch = jax.jit(
+            lambda o: jnp.stack([jnp.sum(p) for p in o]))
+        np.asarray(fetch(timer(sigma2, planes)))
         best = 1e9
         for _ in range(5):
             t0 = time.perf_counter()
-            out = timer(sigma2, planes)
-            jax.block_until_ready(out)
+            np.asarray(fetch(timer(sigma2, planes)))
             best = min(best, time.perf_counter() - t0)
         ns_it = best / NIT / B * 1e9
         tfs = useful_flop * NIT * B / best / 1e12
