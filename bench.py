@@ -104,9 +104,12 @@ def main():
     from amp_sparc_spatialmodulation_tpu.utils.metrics import fetch_sums
 
     cfg = flagship_bamp_ook()
-    # res=65536 is the measured single-chip sweet spot (47.5k trials/s at
-    # 8192 -> 57.0k at 16384 -> 68.7k at 32768 -> 76.4k at 65536;
-    # 131072 exhausts HBM).  Larger trial batches amortize the per-batch
+    # res=65536 is the measured single-chip sweet spot; the throughput
+    # curve saturates here (round 4: 97.6k trials/s at 65536 vs 97.9k at
+    # 98304), and 131072 exhausts HBM — phase1's peak is ~18.9 GB: 8.1 GB
+    # of complex decoder state plus 10.8 GB of temporaries (the kernel's
+    # f32 plane representation is live while the complex output is
+    # assembled).  Larger trial batches amortize the per-batch
     # while_loop sync and keep the MXU fed through the convergence tail.
     # 8 batches = 8 independent channel realizations per rep: enough to
     # keep the sanity FER within channel-selection noise of the published
@@ -119,7 +122,7 @@ def main():
 
     log(f"platform={jax.default_backend()} devices={jax.devices()}")
     form = os.environ.get("BENCH_OPERATOR", "banded")
-    two_phase = int(os.environ.get("BENCH_TWO_PHASE", "16"))
+    two_phase = int(os.environ.get("BENCH_TWO_PHASE", "12"))
     pallas_env = os.environ.get("BENCH_PALLAS", "auto")
     use_pallas = ("auto" if pallas_env == "auto"
                   else pallas_env not in ("0", "false"))
