@@ -74,11 +74,9 @@ def _vamp_decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
                         r_re_ref, r_im_ref, var_ref,
                         xm_re_ref, xm_im_ref,
                         yt_re_ref, yt_im_ref, s2_ref,
-                        VhT_re_ref, VhT_im_ref, Vh_re_ref, Vh_im_ref,
-                        rt_re_o, rt_im_o, s2t_o, r_re_o, r_im_o, var_o,
-                        xm_re_o, xm_im_o, act_o, T_o,
-                        *, N, p, M, chunk, sym_re, sym_im, eta,
-                        precision):
+                        *tap_and_out_refs,
+                        N, p, M, chunk, sym_re, sym_im, eta,
+                        precision, cmul="gauss"):
     """Whole VAMP decode for one trial tile (`vamp.py:56-94` semantics,
     per-trial allclose early stop on the posterior variance
     `vamp.py:181-186`).
@@ -88,7 +86,17 @@ def _vamp_decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
     the ``while_loop`` makes each a loop-live vector-register value, and
     the register allocator spills them (plus their multi-pass matmul
     decompositions) — measured 100.58M of spill slots on the flagship
-    geometry, tile-independent, overflowing the 128M VMEM space."""
+    geometry, tile-independent, overflowing the 128M VMEM space.
+
+    ``cmul='gauss'`` uses the Gauss 3-multiplication complex-product
+    identity on both transforms (6 MXU matmuls per iteration instead of
+    8 at unchanged precision); the tap-plane combos arrive precomputed
+    as six resident refs — forward (c, d-c, c+d) of ``Vh^T`` and
+    backward (c, -d-c, c-d) of ``Vh`` — instead of the standard four."""
+    ntaps = 6 if cmul == "gauss" else 4
+    taps = tap_and_out_refs[:ntaps]
+    (rt_re_o, rt_im_o, s2t_o, r_re_o, r_im_o, var_o,
+     xm_re_o, xm_im_o, act_o, T_o) = tap_and_out_refs[ntaps:]
     dot = make_dot(precision)
     noise_var = sigma2_ref[0]
     cap = cap_ref[0]
@@ -104,19 +112,34 @@ def _vamp_decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
         t, act, T, rt_re, rt_im, s2t, r_re, r_im, var, xm_re, xm_im = c
         # LMMSE stage in the SV domain (`vamp.py:66-73`).
         var_ratio = noise_var / s2t                          # (Bt, 1)
-        q_re = (dot(rt_re, VhT_re_ref[:])
-                - dot(rt_im, VhT_im_ref[:]))                 # (Bt, p)
-        q_im = dot(rt_re, VhT_im_ref[:]) + dot(rt_im, VhT_re_ref[:])
+        if cmul == "gauss":
+            # q = rt @ Vh^T: re = a@c - b@d, im = a@d + b@c via
+            # k1=(a+b)@c, k2=a@(d-c), k3=b@(c+d).
+            k1 = dot(rt_re + rt_im, taps[0][:])
+            k2 = dot(rt_re, taps[1][:])
+            k3 = dot(rt_im, taps[2][:])
+            q_re, q_im = k1 - k3, k1 + k2                    # (Bt, p)
+        else:
+            q_re = dot(rt_re, taps[0][:]) - dot(rt_im, taps[1][:])
+            q_im = dot(rt_re, taps[1][:]) + dot(rt_im, taps[0][:])
         scale = 1.0 / (s2_ref[:] + var_ratio)                # (Bt, p)
         xsv_re = scale * (yt_re_ref[:] + var_ratio * q_re)
         xsv_im = scale * (yt_im_ref[:] + var_ratio * q_im)
         var_lmmse = (dot(scale, jnp.ones((p, 1), jnp.float32))
                      / p * noise_var)                        # (Bt, 1)
         w_re, w_im = xsv_re - q_re, xsv_im - q_im
-        # @ conj(Vh): re -> +Vh_re, im cross -> -Vh_im
-        xt_re = (dot(w_re, Vh_re_ref[:]) + dot(w_im, Vh_im_ref[:])
-                 + rt_re)                                    # (Bt, N)
-        xt_im = dot(w_im, Vh_re_ref[:]) - dot(w_re, Vh_im_ref[:]) + rt_im
+        # @ conj(Vh): re = a@c + b@d, im = b@c - a@d — the forward
+        # identity with d -> -d: k1=(a+b)@c, k2=a@(-d-c), k3=b@(c-d).
+        if cmul == "gauss":
+            k1 = dot(w_re + w_im, taps[3][:])
+            k2 = dot(w_re, taps[4][:])
+            k3 = dot(w_im, taps[5][:])
+            xt_re = k1 - k3 + rt_re                          # (Bt, N)
+            xt_im = k1 + k2 + rt_im
+        else:
+            xt_re = (dot(w_re, taps[2][:]) + dot(w_im, taps[3][:])
+                     + rt_re)                                # (Bt, N)
+            xt_im = dot(w_im, taps[2][:]) - dot(w_re, taps[3][:]) + rt_im
         xt_var = eta * var_lmmse + (1.0 - eta) * s2t
 
         # Extrinsic subtraction (`vamp.py:75-82`).
@@ -164,13 +187,15 @@ def _vamp_decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
 
 
 def _pick_tile_vamp(B: int, N: int, p: int, K: int, M: int,
-                    chunk: int) -> int:
-    """Largest trial tile whose VMEM working set fits: four resident
-    split-real Vh planes and the chunk-sized segment-indicator pair, plus
-    the blocked (Bt, N) state/temporary planes (double-buffered when the
-    grid has several programs)."""
+                    chunk: int, n_vh: int = 4) -> int:
+    """Largest trial tile whose VMEM working set fits: ``n_vh`` resident
+    split-real Vh planes (4 standard / 6 with the Gauss cmul combos) and
+    the chunk-sized segment-indicator pair, plus the blocked (Bt, N)
+    state/temporary planes (double-buffered when the grid has several
+    programs)."""
     lane = lambda d: -(-d // 128) * 128
-    resident = (2 * N * lane(p) * 4 + 2 * p * lane(N) * 4
+    half = n_vh // 2
+    resident = (half * N * lane(p) * 4 + half * p * lane(N) * 4
                 + 2 * chunk * lane(max(chunk // M, 1)) * 4)
     budget = 100 * 1024 * 1024 - resident
     # 11 while-carries in/out + the body's live (tile, N) temporaries.
@@ -211,14 +236,18 @@ class FusedVampDecode:
     def fits(cls, cfg, batch: int) -> bool:
         """VMEM trial-tile fit from config geometry — the constructor's
         own ``_pick_tile_vamp``/``_pick_chunk`` math."""
+        import os
         N = cfg.Lin * cfg.Nt
         p = min(cfg.Lout * cfg.Nr, N)
+        n_vh = 6 if os.environ.get("AMP_KERNEL_CMUL", "gauss") == "gauss" \
+            else 4
         return _pick_tile_vamp(batch, N, p, cfg.K, cfg.M,
-                               _pick_chunk(N, cfg.M)) > 0
+                               _pick_chunk(N, cfg.M), n_vh) > 0
 
     def __init__(self, Vh, batch: int, interpret: bool = False,
                  symbols=None, M: int = 0, chunk: int | None = None,
                  precision=jax.lax.Precision.HIGHEST):
+        import os
         if symbols is None or len(symbols) < 1:
             raise ValueError("whole-decode kernel needs a symbol table")
         if M <= 0:
@@ -229,19 +258,28 @@ class FusedVampDecode:
         self.M = M
         self.interpret = interpret
         self.precision = precision
+        self.cmul = os.environ.get("AMP_KERNEL_CMUL", "gauss")
         p, N = Vh.shape
         self.p, self.N = int(p), int(N)
         self.chunk = _pick_chunk(self.N, M) if chunk is None else chunk
         if self.N % self.chunk or self.chunk % M:
             raise ValueError("chunk must divide N and be a multiple of M")
         tile = _pick_tile_vamp(batch, self.N, self.p, len(syms), M,
-                               self.chunk)
+                               self.chunk,
+                               6 if self.cmul == "gauss" else 4)
         if tile == 0:
             raise NoVmemTileError(
                 "no trial tile fits VMEM for this geometry")
         self.tile = tile
-        self.Vh_re = jnp.real(Vh).astype(jnp.float32)
-        self.Vh_im = jnp.imag(Vh).astype(jnp.float32)
+        Vh_re = jnp.real(Vh).astype(jnp.float32)
+        Vh_im = jnp.imag(Vh).astype(jnp.float32)
+        if self.cmul == "gauss":
+            # forward taps on Vh^T: (c, d-c, c+d); backward on Vh with
+            # d -> -d: (c, -d-c, c-d) — see _vamp_decode_kernel.
+            self.taps = (Vh_re.T, Vh_im.T - Vh_re.T, Vh_re.T + Vh_im.T,
+                         Vh_re, -Vh_im - Vh_re, Vh_re - Vh_im)
+        else:
+            self.taps = (Vh_re.T, Vh_im.T, Vh_re, Vh_im)
 
     def decode_call(self, sigma2, cap, act, T, rt_re, rt_im, s2t,
                     r_re, r_im, var, xm_re, xm_im, yt_re, yt_im, s2,
@@ -267,7 +305,7 @@ class FusedVampDecode:
         kern = functools.partial(_vamp_decode_kernel, N=N, p=p, M=self.M,
                                  chunk=self.chunk, sym_re=self.sym_re,
                                  sym_im=self.sym_im, eta=float(eta),
-                                 precision=self.precision)
+                                 precision=self.precision, cmul=self.cmul)
         # inputs: 0 sigma2, 1 cap, 2 act, 3 T, 4 rt_re, 5 rt_im, 6 s2t,
         # 7 r_re, 8 r_im, 9 var, 10 xm_re, 11 xm_im, 12-13 y_tilde,
         # 14 s2, 15-18 Vh planes; outputs: 0-7 state, 8 act, 9 T
@@ -279,7 +317,7 @@ class FusedVampDecode:
             in_specs=[smem(), smem(), aspec(), aspec()]
             + [nspec(), nspec(), aspec(), nspec(), nspec(), nspec(),
                nspec(), nspec()]
-            + [pspec(), pspec()] + [full()] * 5,
+            + [pspec(), pspec()] + [full()] * (1 + len(self.taps)),
             out_specs=[nspec(), nspec(), aspec(), nspec(), nspec(),
                        nspec(), nspec(), nspec(), aspec(), aspec()],
             out_shape=[n_shape, n_shape, a_shape, n_shape, n_shape,
@@ -291,5 +329,4 @@ class FusedVampDecode:
         )(jnp.asarray(sigma2, jnp.float32).reshape(1),
           jnp.asarray(cap, jnp.int32).reshape(1), act, T,
           rt_re, rt_im, s2t, r_re, r_im, var, xm_re, xm_im,
-          yt_re, yt_im, s2,
-          self.Vh_re.T, self.Vh_im.T, self.Vh_re, self.Vh_im)
+          yt_re, yt_im, s2, *self.taps)
