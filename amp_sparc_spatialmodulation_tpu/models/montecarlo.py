@@ -251,11 +251,13 @@ class TwoPhaseCore(NamedTuple):
     wraps in ``shard_map``."""
 
     phase1: Callable      # (key, snr) -> (y, state)
-    phase2: Callable      # (key, y_sub, state_sub, snr) -> state_sub'
+    phase2: Callable      # (key, y_sub, state_sub, snr[, iter_cap]) -> state'
     scatter_eval: Callable  # (key, state, sub_state, pad_idx) -> sums
     evaluate: Callable    # (key, state) -> sums
     use_pallas: bool
     res: int
+    cap: Optional[int] = None    # total iteration budget (cfg.N_Layers)
+    k1: Optional[int] = None     # phase-1 budget
 
 
 def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
@@ -373,11 +375,15 @@ def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
         _, state = run_decode(ctx, y, sigma2, iter_cap=k1)
         return y, state
 
-    def phase2(key, y_sub, state_sub, snr):
+    def phase2(key, y_sub, state_sub, snr, iter_cap=None):
+        """Continue a gathered sub-batch; ``iter_cap`` (static, GLOBAL
+        iteration count) lets the host ladder insert intermediate
+        compaction rungs — ``None`` runs to the full cap."""
         k_chan, _, _ = jax.random.split(key, 3)
         sigma2 = cfg.E / snr
         ctx = make_ctx(k_chan)
-        _, s = run_decode(ctx, y_sub, sigma2, state0=state_sub)
+        _, s = run_decode(ctx, y_sub, sigma2, state0=state_sub,
+                          iter_cap=iter_cap)
         return s
 
     def scatter_eval(key, state, sub_state, pad_idx):
@@ -393,7 +399,8 @@ def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
 
     return TwoPhaseCore(phase1=phase1, phase2=phase2,
                         scatter_eval=scatter_eval, evaluate=evaluate,
-                        use_pallas=use_pallas, res=res)
+                        use_pallas=use_pallas, res=res,
+                        cap=cfg.N_Layers, k1=k1)
 
 
 def make_two_phase_fns(cfg: Config, algo: str, channel_kind: str, res: int,
@@ -403,9 +410,11 @@ def make_two_phase_fns(cfg: Config, algo: str, channel_kind: str, res: int,
                        use_pallas="auto"):
     """Jitted single-device continuation batching.
 
-    Returns ``(phase1, phase2_for, scatter_eval, evaluate)``:
+    Returns a :class:`TwoPhaseFns`, unpackable as the classic 4-tuple
+    ``(phase1, phase2_for, scatter_eval, evaluate)`` plus ladder
+    metadata:
       phase1(key, snr) -> (y, state)
-      phase2_for(bucket)(key, y_sub, state_sub, snr) -> state_sub'
+      phase2_for(bucket)(key, y_sub, state_sub, snr[, iter_cap]) -> state'
       scatter_eval(key, state, sub_state, pad_idx) -> metric sums
       evaluate(key, state) -> metric sums
 
@@ -417,31 +426,93 @@ def make_two_phase_fns(cfg: Config, algo: str, channel_kind: str, res: int,
                                operator_form=operator_form,
                                estimate_phi=estimate_phi,
                                use_pallas=use_pallas)
-    phase2 = jax.jit(core.phase2,
-                     donate_argnums=(2,))  # jit retraces per bucket shape
-    return (jax.jit(core.phase1), lambda bucket: phase2,
-            jax.jit(core.scatter_eval, donate_argnums=(1, 2)),
-            jax.jit(core.evaluate, donate_argnums=(1,)))
+    phase2 = jax.jit(core.phase2, donate_argnums=(2,),
+                     static_argnums=(4,))  # retraces per (bucket, cap)
+    return TwoPhaseFns(
+        jax.jit(core.phase1), lambda bucket: phase2,
+        jax.jit(core.scatter_eval, donate_argnums=(1, 2)),
+        jax.jit(core.evaluate, donate_argnums=(1,)),
+        cap=core.cap, k1=core.k1)
 
 
-def run_two_phase_realization(fns, key, snr, min_bucket: int = 64):
-    """Host orchestration of one continuation-batched realization."""
-    phase1, phase2_for, scatter_eval, evaluate = fns
-    y, state = phase1(key, snr)
-    active = np.asarray(state.active)
-    n_active = int(active.sum())
-    if n_active == 0:
-        return evaluate(key, state)
+class TwoPhaseFns(NamedTuple):
+    """Jitted continuation-batching bundle (see make_two_phase_fns)."""
+
+    phase1: Callable
+    phase2_for: Callable
+    scatter_eval: Callable
+    evaluate: Callable
+    cap: Optional[int] = None
+    k1: Optional[int] = None
+
+
+def _pad_bucket(active: np.ndarray, min_bucket: int):
+    """(pad_idx, bucket) for the active trials — padded to the next power
+    of two so jit shapes are reused across realizations."""
     idx = np.flatnonzero(active)
-    bucket = max(min_bucket, 1 << (n_active - 1).bit_length())
+    bucket = max(min_bucket, 1 << (len(idx) - 1).bit_length())
     bucket = min(bucket, active.size)
-    pad_idx = np.concatenate(
-        [idx, np.full(bucket - len(idx), idx[0], idx.dtype)])
-    pad_idx = jnp.asarray(pad_idx)
+    pad = np.concatenate([idx, np.full(bucket - len(idx), idx[0],
+                                       idx.dtype)])
+    return jnp.asarray(pad), bucket
+
+
+def run_two_phase_realization(fns, key, snr, min_bucket: int = 64,
+                              ladder: bool = False):
+    """Host orchestration of one continuation-batched realization.
+
+    With ``ladder=True`` (and cap/k1 metadata on ``fns``), the
+    continuation phase re-compacts geometrically: rungs at global
+    iteration counts 2*k1, 4*k1, ... re-gather the still-active trials
+    into half-size buckets before the final to-cap run.  The decode
+    trajectory is bit-identical either way (resumable state; rungs only
+    change batch shapes).  Measured at the flagship 8 dB point
+    (res=65536, k1=12) the rung's device->host active-mask fetch plus
+    the extra dispatch cost MORE than the compaction saves (93.4k
+    trials/s unladdered vs 91.6k with one rung — per-tile early exit
+    already absorbs most of the tail imbalance phase 2 would re-pay),
+    so the ladder is OFF by default; it remains available for workloads
+    with much larger caps where a rung amortizes better.  An always-win
+    version needs in-graph compaction (lax.cond on the active count
+    with static half-bucket shapes) — no host sync.
+    """
+    if isinstance(fns, tuple) and not hasattr(fns, "cap"):
+        fns = TwoPhaseFns(*fns)
+    y, state = fns.phase1(key, snr)
+    active = np.asarray(state.active)
+    if int(active.sum()) == 0:
+        return fns.evaluate(key, state)
+    pad_idx, bucket = _pad_bucket(active, min_bucket)
     sub = state_take_trials(state, pad_idx)
     y_sub = y[pad_idx]
-    sub_final = phase2_for(bucket)(key, y_sub, sub, snr)
-    return scatter_eval(key, state, sub_final, pad_idx)
+    cap, t = fns.cap, fns.k1
+    stack = []                       # (parent_sub, pad_into_parent)
+    # Each rung costs a device->host fetch of the active mask (~tens of
+    # ms on the remote tunnel) plus an extra dispatch, so rungs only pay
+    # while the bucket is a sizable slice of the batch — below res/16
+    # the to-cap run is cheaper than another sync (measured: laddering
+    # all the way down cost 12% at the flagship point; one rung at
+    # bucket=res/16 gains ~10%).
+    if ladder and cap is not None and t is not None:
+        while 2 * t < cap and bucket > max(min_bucket, active.size // 16):
+            t *= 2
+            sub = fns.phase2_for(bucket)(key, y_sub, sub, snr, t)
+            act = np.asarray(sub.active)
+            if int(act.sum()) == 0:
+                break
+            pad2, nb = _pad_bucket(act, min_bucket)
+            if nb >= act.size:       # no compaction at this rung
+                continue
+            stack.append((sub, pad2))
+            sub = state_take_trials(sub, pad2)
+            y_sub = y_sub[pad2]
+            bucket = nb
+    if bool(np.asarray(sub.active).any()):
+        sub = fns.phase2_for(bucket)(key, y_sub, sub, snr, None)
+    while stack:
+        parent, pad2 = stack.pop()
+        sub = state_merge_trials(parent, sub, pad2)
+    return fns.scatter_eval(key, state, sub, pad_idx)
 
 
 class Simulator:

@@ -21,6 +21,28 @@ def test_two_phase_matches_single_phase(tmp_path, k1):
         assert a2[k] == pytest.approx(v, rel=1e-5, abs=1e-9), k
 
 
+def test_phase_ladder_matches_single_phase():
+    """The geometric re-compaction ladder (opt-in) only changes batch
+    shapes — metric sums must match the single-phase decode exactly."""
+    import jax.numpy as jnp
+    from amp_sparc_spatialmodulation_tpu.models import montecarlo
+    from amp_sparc_spatialmodulation_tpu.utils.metrics import fetch_sums
+    cfg = Config(Nt=16, Na=4, Nr=10, Lin=6, Lh=3, mode="segmented",
+                 alphabet="OOK", profile="uniform", trunc="tail",
+                 iterations=40)
+    res = 128
+    snr = jnp.float32(10 ** ((6.0 + 10 * np.log10(cfg.code_rate)) / 10))
+    key = jax.random.PRNGKey(3)
+    ref = fetch_sums(jax.jit(montecarlo.make_realization_fn(
+        cfg, "bamp", "segmented", res, operator_form="banded"))(key, snr))
+    fns = montecarlo.make_two_phase_fns(cfg, "bamp", "segmented", res, 4,
+                                        operator_form="banded")
+    lad = fetch_sums(montecarlo.run_two_phase_realization(
+        fns, key, snr, min_bucket=8, ladder=True))
+    for k, v in ref.items():
+        assert lad[k] == pytest.approx(v, rel=1e-5, abs=1e-9), k
+
+
 @pytest.mark.parametrize("algo,mode", [("scamp", "sparc"), ("vamp", "segmented"),
                                        ("vamp2", "segmented")])
 def test_two_phase_matches_single_phase_all_algos(tmp_path, algo, mode):
