@@ -64,6 +64,18 @@ def segmented_posterior(r: jnp.ndarray, tau, symbols: jnp.ndarray,
         variance: None (mean only, `scamp.py:61-68`), "decomposed"
             (`bamp.py:74-76`), or "second_moment" (`vamp2.py:87`).
 
+    Exp stabilization is the numerically proper PER-SEGMENT max.  The
+    reference instead subtracts one ``x.abs().max()`` scalar per trial
+    (`scamp.py:66`, `bamp.py:70`), which parks weak segments' etas in
+    the CPU f32 subnormal range; the resulting quantization freezes
+    weak-section posteriors early and is load-bearing for the published
+    SCAMP 8PSK iteration counts (~15-20% below ours, FER matching).
+    That behavior is unreproducible in kind on TPU: subnormals flush to
+    zero (the literal global-max form NaNs out — measured meanT=cap,
+    FER=1), and an explicit 2^-149-grid emulation perturbs the chaotic
+    trajectory the other way (measured meanT 127 vs the reference 47 at
+    the 8 dB point).  Documented divergence — see PARITY.md.
+
     Returns:
         (xmmse, var): (B, N) complex64 posterior mean and (B, N) float32
         posterior variance (or None when ``variance`` is None).

@@ -33,7 +33,14 @@ from loss import Loss  # noqa: E402
 from scamp import SCAMP  # noqa: E402
 
 FAMILY = sys.argv[1] if len(sys.argv) > 1 else "8psk"
-if FAMILY == "8psk":
+if FAMILY == "ook":
+    # Simulations/SCAMP/OOK,sparc/uniform,tail/Nt=128,Na=8,Nr=24,Lh=3,
+    # Lin=20 — the flagship-dims 10k-trial fine sweep.
+    cfg_kw = dict(N_transmit_antenna=128, N_active_antenna=8,
+                  N_receive_antenna=24, block_length=20, channel_length=3,
+                  alphabet="OOK", iterations=100)
+    default_epochs = 1000
+elif FAMILY == "8psk":
     # Simulations/SCAMP/8PSK,sparc/uniform,tail/Nt=480,Na=30,Nr=57,Lh=6,
     # Lin=32 — published T reaches 175 => cap >= 200.
     cfg_kw = dict(N_transmit_antenna=480, N_active_antenna=30,
