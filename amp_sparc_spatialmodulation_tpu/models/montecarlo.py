@@ -378,13 +378,47 @@ def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
     def phase2(key, y_sub, state_sub, snr, iter_cap=None):
         """Continue a gathered sub-batch; ``iter_cap`` (static, GLOBAL
         iteration count) lets the host ladder insert intermediate
-        compaction rungs — ``None`` runs to the full cap."""
+        compaction rungs — ``None`` runs to the full cap.
+
+        The to-cap form re-compacts IN-GRAPH: the trials that hit the
+        iteration cap (decode failures) are spread over every trial
+        tile, so without compaction every tile of the bucket runs the
+        full budget.  A mid-phase rung at 2*k1 counts the survivors and,
+        when they fit half the bucket, ``lax.cond`` branches into a
+        gather -> half-size decode -> scatter — all on device (a
+        host-orchestrated rung pays a ~25 ms active-mask fetch per rung,
+        measured to cost more than it saves).  Trial trajectories are
+        unaffected (per-trial freeze; batch shape only changes which
+        tile a trial shares).  Static guard: buckets below 512 trials
+        skip the rung (the compile cost of three decode instances isn't
+        worth tens of microseconds of tile tail)."""
         k_chan, _, _ = jax.random.split(key, 3)
         sigma2 = cfg.E / snr
         ctx = make_ctx(k_chan)
+        B = y_sub.shape[0]
+        mid = 2 * k1
+        no_rung = os.environ.get("AMP_INGRAPH_COMPACT", "1") in ("0",
+                                                                 "false")
+        if iter_cap is not None or B < 512 or mid >= cfg.N_Layers \
+                or no_rung:
+            _, s = run_decode(ctx, y_sub, sigma2, state0=state_sub,
+                              iter_cap=iter_cap)
+            return s
         _, s = run_decode(ctx, y_sub, sigma2, state0=state_sub,
-                          iter_cap=iter_cap)
-        return s
+                          iter_cap=mid)
+
+        def compact(s):
+            # stable sort: actives first, original order preserved
+            idx = jnp.argsort(jnp.logical_not(s.active))[:B // 2]
+            _, s2 = run_decode(ctx, y_sub[idx], sigma2,
+                               state0=state_take_trials(s, idx))
+            return state_merge_trials(s, s2, idx)
+
+        def direct(s):
+            _, s2 = run_decode(ctx, y_sub, sigma2, state0=s)
+            return s2
+
+        return jax.lax.cond(jnp.sum(s.active) <= B // 2, compact, direct, s)
 
     def scatter_eval(key, state, sub_state, pad_idx):
         merged = state_merge_trials(state, sub_state, pad_idx)
@@ -448,11 +482,21 @@ class TwoPhaseFns(NamedTuple):
 
 def _pad_bucket(active: np.ndarray, min_bucket: int):
     """(pad_idx, bucket) for the active trials — padded to the next power
-    of two so jit shapes are reused across realizations."""
+    of two so jit shapes are reused across realizations.
+
+    Padding rows duplicate a CONVERGED trial when one exists: converged
+    rows are frozen, so their tiles exit immediately and the in-graph
+    compaction rung sees the true survivor count.  (Padding with an
+    active trial — the previous scheme — re-decoded the duplicate in
+    every pad row and, when that trial ran to cap, inflated the active
+    count by the whole pad width.)  Duplicate indices are harmless on
+    the scatter side: every copy writes back the same frozen state."""
     idx = np.flatnonzero(active)
+    inactive = np.flatnonzero(~active)
+    fill = inactive[0] if len(inactive) else idx[0]
     bucket = max(min_bucket, 1 << (len(idx) - 1).bit_length())
     bucket = min(bucket, active.size)
-    pad = np.concatenate([idx, np.full(bucket - len(idx), idx[0],
+    pad = np.concatenate([idx, np.full(bucket - len(idx), fill,
                                        idx.dtype)])
     return jnp.asarray(pad), bucket
 

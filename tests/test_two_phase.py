@@ -21,6 +21,30 @@ def test_two_phase_matches_single_phase(tmp_path, k1):
         assert a2[k] == pytest.approx(v, rel=1e-5, abs=1e-9), k
 
 
+def test_ingraph_compaction_matches_single_phase():
+    """phase2's lax.cond mid-rung (bucket >= 512) must leave the metric
+    sums identical to the plain single-phase decode."""
+    import jax.numpy as jnp
+    from amp_sparc_spatialmodulation_tpu.models import montecarlo
+    from amp_sparc_spatialmodulation_tpu.utils.metrics import fetch_sums
+    cfg = Config(Nt=16, Na=4, Nr=10, Lin=6, Lh=3, mode="segmented",
+                 alphabet="OOK", profile="uniform", trunc="tail",
+                 iterations=40)
+    res = 1024
+    snr = jnp.float32(10 ** ((7.0 + 10 * np.log10(cfg.code_rate)) / 10))
+    key = jax.random.PRNGKey(5)
+    ref = fetch_sums(jax.jit(montecarlo.make_realization_fn(
+        cfg, "bamp", "segmented", res, operator_form="banded"))(key, snr))
+    fns = montecarlo.make_two_phase_fns(cfg, "bamp", "segmented", res, 4,
+                                        operator_form="banded")
+    # min_bucket=512 pins the phase-2 bucket into the in-graph-rung
+    # regime regardless of how many trials survive phase 1.
+    out = fetch_sums(montecarlo.run_two_phase_realization(
+        fns, key, snr, min_bucket=512))
+    for k, v in ref.items():
+        assert out[k] == pytest.approx(v, rel=1e-5, abs=1e-9), k
+
+
 def test_phase_ladder_matches_single_phase():
     """The geometric re-compaction ladder (opt-in) only changes batch
     shapes — metric sums must match the single-phase decode exactly."""
