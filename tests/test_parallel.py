@@ -115,7 +115,14 @@ def test_dp_sharded_step_use_pallas(eight_devices):
                                             for k in vals}
     assert sharded["trials"] == total["trials"] == 4 * res
     for k in sharded:
-        assert sharded[k] == pytest.approx(total[k], rel=1e-4, abs=1e-3), k
+        if k == "T":
+            # kernel-vs-XLA comparison: f32 accumulation order can flip
+            # a borderline 1e-5 allclose decision, shifting one trial's
+            # iteration count by +-1 (same class as dense-vs-banded XLA)
+            assert sharded[k] == pytest.approx(total[k], abs=2.0), k
+        else:
+            assert sharded[k] == pytest.approx(total[k], rel=1e-4,
+                                               abs=1e-3), k
 
 
 def test_tp_decode_matches_dense(eight_devices):
