@@ -97,12 +97,13 @@ def make_realization_fn(cfg: Config, algo: str, channel_kind: str, res: int,
         if channel_kind == "iid":
             raise ValueError("iid channels have no banded form")
     if use_pallas is True:
-        if algo not in ("bamp", "scamp", "vamp"):
-            raise ValueError(
-                "the fused Pallas decode covers bamp, scamp and vamp")
-        if algo != "vamp" and operator_form != "banded":
+        if algo not in ("bamp", "scamp", "vamp", "vamp2"):
+            raise ValueError("the fused Pallas decode covers bamp, "
+                             "scamp, vamp and vamp2")
+        if algo not in ("vamp", "vamp2") and operator_form != "banded":
             raise ValueError("use_pallas requires the banded operator "
-                             "form (vamp uses the SVD kernel instead)")
+                             "form (vamp/vamp2 use the SVD kernels "
+                             "instead)")
     use_pallas = resolve_use_pallas(use_pallas, cfg, algo, operator_form,
                                     batch=res)
 
@@ -140,7 +141,8 @@ def make_realization_fn(cfg: Config, algo: str, channel_kind: str, res: int,
             # the direct SVD: the Gram-eigh route zeroes singular values
             # below sqrt(eps)*s_max, which the division would blow up.
             out = vamp2.decode(vamp.svd(A, method="direct"), y, sigma2,
-                               cfg, precision=precision)
+                               cfg, use_pallas=use_pallas,
+                               precision=precision)
         else:
             out = scamp.decode(W, A, y, sigma2, cfg,
                                estimate_phi=estimate_phi,
@@ -174,18 +176,16 @@ def resolve_use_pallas(use_pallas, cfg: Config, algo: str,
     if use_pallas == "auto":
         if jax.default_backend() != "tpu" or kern is None:
             return False
-        if algo != "vamp" and operator_form != "banded":
+        if algo not in ("vamp", "vamp2") and operator_form != "banded":
             return False
         ok = kern.covers(cfg)
         if ok and batch is not None:
             ok = kern.fits(cfg, batch)
         return ok
     if use_pallas is True and kern is None:
-        # Honest knob: no fused kernel exists for this algorithm at all
-        # (vamp2 divides by small singular values — see
-        # tests/test_quirks.py::test_vamp2_needs_direct_svd); enforce the
-        # never-silent contract here rather than relying on downstream
-        # guards in make_realization_fn.
+        # Honest knob: no fused kernel exists for this algorithm at all;
+        # enforce the never-silent contract here rather than relying on
+        # downstream guards in make_realization_fn.
         raise ValueError(
             f"use_pallas=True, but no fused decode kernel exists for "
             f"algo={algo!r}")
@@ -217,6 +217,9 @@ def pallas_kernel_class(algo: str):
     if algo == "vamp":
         from ..ops.pallas.fused_vamp import FusedVampDecode
         return FusedVampDecode
+    if algo == "vamp2":
+        from ..ops.pallas.fused_vamp2 import FusedVamp2Decode
+        return FusedVamp2Decode
     return None
 
 
@@ -294,9 +297,10 @@ def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
             raise ValueError("iid channels have no banded form")
     if algo == "scamp" and channel_kind != "sparc":
         raise ValueError("scamp requires the sparc channel")
-    if use_pallas is True and algo not in ("bamp", "scamp", "vamp"):
+    if use_pallas is True and algo not in ("bamp", "scamp", "vamp",
+                                           "vamp2"):
         raise ValueError(
-            "the fused Pallas decode covers bamp, scamp and vamp")
+            "the fused Pallas decode covers bamp, scamp, vamp and vamp2")
     use_pallas = resolve_use_pallas(use_pallas, cfg, algo, operator_form,
                                     batch=res)
 
@@ -338,7 +342,8 @@ def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
         if algo == "vamp":
             return vamp.decode(A, y, sigma2, cfg, use_pallas=use_pallas,
                                **kw)
-        return vamp2.decode(A, y, sigma2, cfg, **kw)
+        return vamp2.decode(A, y, sigma2, cfg, use_pallas=use_pallas,
+                            **kw)
 
     def views(state):
         """(decision statistic, posterior mean) of a decoder state — VAMP

@@ -49,13 +49,40 @@ def make_denoiser(cfg: Config):
                    Ps=cfg.Ps, P0=cfg.P0)
 
 
+def _fused_whole_decode(fused, s0: "VAMP2State", y_tilde, s2_row, eta,
+                        noise_var, cap) -> "VAMP2State":
+    """Run the entire vamp2 decode as ONE pallas_call (in-kernel iteration
+    loop; see :mod:`..ops.pallas.fused_vamp2`)."""
+    cap_rem = jnp.maximum(jnp.asarray(cap, jnp.int32) - s0.t, 0)
+    act = s0.active.astype(jnp.float32)[:, None]
+    T0 = s0.T.astype(jnp.float32)[:, None]
+    out = fused.decode_call(
+        noise_var, cap_rem, act, T0,
+        jnp.real(s0.r), jnp.imag(s0.r), s0.gamma, s0.var,
+        jnp.real(s0.xmmse), jnp.imag(s0.xmmse),
+        jnp.real(y_tilde), jnp.imag(y_tilde), s2_row, eta)
+    r_re, r_im, gamma, var, xm_re, xm_im, act_o, T_o = out
+    active = act_o[:, 0] > 0.0
+    T = T_o[:, 0].astype(jnp.int32)
+    t = jnp.maximum(s0.t, jnp.where(jnp.any(active),
+                                    jnp.asarray(cap, jnp.int32), T.max()))
+    return VAMP2State(
+        r=lax.complex(r_re, r_im), gamma=gamma, var=var,
+        xmmse=lax.complex(xm_re, xm_im), active=active, T=T, t=t)
+
+
 def decode(dec: SVD, y: jnp.ndarray, sigma2, cfg: Config, *,
            damping: float = 0.97,
+           use_pallas: bool = False,
            state0: VAMP2State | None = None,
            iter_cap: int | None = None,
            return_state: bool = False,
            precision=lax.Precision.HIGHEST):
     """Run damped Rangan VAMP on a batch of trials sharing one SVD.
+
+    ``use_pallas`` runs the whole decode as one fused Pallas kernel with
+    the ``Vh`` tap combos VMEM-resident (complex segmented/sparc
+    alphabets; the whitening stays outside — it needs the direct SVD).
 
     ``state0`` / ``iter_cap`` / ``return_state`` make the decode resumable
     (identical trajectory when split at any cap)."""
@@ -65,6 +92,30 @@ def decode(dec: SVD, y: jnp.ndarray, sigma2, cfg: Config, *,
     mm = partial(jnp.matmul, precision=precision)
     denoiser = make_denoiser(cfg)
     rho = damping
+
+    whole = None
+    if use_pallas:
+        import os
+
+        import jax
+
+        from ..ops.pallas.fused_bamp import NoVmemTileError
+        from ..ops.pallas.fused_vamp2 import FusedVamp2Decode
+
+        if not FusedVamp2Decode.covers(cfg):
+            # Honest knob: never silently run XLA under use_pallas=True.
+            raise ValueError(
+                "use_pallas: the fused vamp2 kernel covers complex "
+                f"segmented/sparc alphabets, not mode={cfg.mode!r} "
+                f"is_complex={cfg.is_complex}")
+        if os.environ.get("AMP_PALLAS_MODE", "whole") == "whole":
+            try:
+                whole = FusedVamp2Decode(
+                    Vh, B, interpret=jax.default_backend() != "tpu",
+                    symbols=cfg.symbols, M=cfg.M, precision=precision,
+                    damping=rho)
+            except NoVmemTileError:
+                whole = None
 
     s2 = (s ** 2)[None, :]
     eta = N / p                                     # `vamp2.py:26` (N/p!)
@@ -83,6 +134,15 @@ def decode(dec: SVD, y: jnp.ndarray, sigma2, cfg: Config, *,
             t=jnp.zeros((), jnp.int32),
         )
     cap = cfg.N_Layers if iter_cap is None else iter_cap
+
+    if whole is not None:
+        st = _fused_whole_decode(whole, state0, y_tilde, s2, eta,
+                                 noise_var, cap)
+        result = DecodeResult(xmap=st.r, xmmse=st.xmmse, var=st.var,
+                              T=st.T)
+        if return_state:
+            return result, st
+        return result
 
     def cond(st: VAMP2State):
         return jnp.logical_and(st.t < cap, jnp.any(st.active))

@@ -367,17 +367,19 @@ def _seg_reduce_bcast(x, *, Nt, M, pos, op="sum", mode="roll"):
 
 
 def _seg_denoiser(xr, xi, cov, *, Nt, M, sym_re, sym_im, want_var=True,
-                  halve=True, segred="roll"):
+                  halve=True, segred="roll", var_form="decomposed"):
     """General-K segmented softmax posterior on a (rows, Nt) plane
     (`bamp.py:66-77`, tau = cov/2) with the decomposed variance
     (`bamp.py:74-76`) — the in-kernel twin of
     :func:`...denoise.segmented_posterior` (symbols unrolled statically;
     K is small: 1 for OOK ... 8 for 8PSK).  ``want_var=False`` gives the
     mean-only form SCAMP uses (`scamp.py:61-68`); ``halve=False`` drops
-    the tau/2 calibration (VAMP, `vamp.py:110`).  ``cov`` broadcasts
-    ((rows, 1) per-trial scalars or full (rows, Nt) planes).  Segment
-    reductions are exact 0/1 sums either way (they feed the 1e-5 allclose
-    convergence test); ``segred`` picks rolls vs indicator matmuls."""
+    the tau/2 calibration (VAMP, `vamp.py:110`); ``var_form=
+    'second_moment'`` is vamp2's E|x|^2 - |xmmse|^2 (`vamp2.py:87`).
+    ``cov`` broadcasts ((rows, 1) per-trial scalars or full (rows, Nt)
+    planes).  Segment reductions are exact 0/1 sums either way (they
+    feed the 1e-5 allclose convergence test); ``segred`` picks rolls vs
+    indicator matmuls."""
     rows = xr.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (rows, Nt), 1) % M
     inv = (2.0 if halve else 1.0) / cov
@@ -402,6 +404,13 @@ def _seg_denoiser(xr, xi, cov, *, Nt, M, sym_re, sym_im, want_var=True,
     xm_im = xm_im / eta2
     if not want_var:
         return xm_re, xm_im, None
+    if var_form == "second_moment":
+        second = None
+        for sr, si, e in zip(sym_re, sym_im, etas):
+            m2 = (sr * sr + si * si) * e
+            second = m2 if second is None else second + m2
+        return (xm_re, xm_im,
+                second / eta2 - (xm_re * xm_re + xm_im * xm_im))
     var0 = (xm_re * xm_re + xm_im * xm_im) * (1.0 - lane_sum / eta2)
     vars_ = None
     for sr, si, e in zip(sym_re, sym_im, etas):

@@ -55,16 +55,17 @@ def _pick_chunk(N: int, M: int) -> int:
 
 
 def _seg_denoiser_lanes(xr, xi, cov, *, N, M, chunk, sym_re, sym_im,
-                        halve=False):
+                        halve=False, var_form="decomposed"):
     """Apply the segmented denoiser per lane chunk (see
     :func:`_pick_chunk`); ``cov`` is a per-trial (rows, 1) plane so it
     broadcasts into every chunk unchanged."""
     if chunk >= N:
         return _seg_denoiser(xr, xi, cov, Nt=N, M=M, sym_re=sym_re,
-                             sym_im=sym_im, halve=halve)
+                             sym_im=sym_im, halve=halve,
+                             var_form=var_form)
     outs = [_seg_denoiser(xr[:, i:i + chunk], xi[:, i:i + chunk], cov,
                           Nt=chunk, M=M, sym_re=sym_re, sym_im=sym_im,
-                          halve=halve)
+                          halve=halve, var_form=var_form)
             for i in range(0, N, chunk)]
     return tuple(jnp.concatenate(parts, axis=1) for parts in zip(*outs))
 

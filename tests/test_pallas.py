@@ -194,9 +194,6 @@ def test_use_pallas_never_silently_ignored():
                  alphabet="OOK", profile="uniform", trunc="tail",
                  iterations=20)
     with pytest.raises(ValueError):
-        montecarlo.make_realization_fn(cfg, "vamp2", "sparc", 8,
-                                       use_pallas=True)
-    with pytest.raises(ValueError):
         montecarlo.make_realization_fn(cfg, "bamp", "sparc", 8,
                                        operator_form="dense",
                                        use_pallas=True)
@@ -317,11 +314,15 @@ def test_covers_matches_decode_guard():
                 mode, alphabet)
 
 
-def test_resolve_use_pallas_vamp2_raises():
-    """Explicit use_pallas=True with an algorithm that has NO fused kernel
-    (vamp2) must raise — the never-silent contract of the knob."""
+def test_resolve_use_pallas_vamp2():
+    """vamp2 gained a fused whole-decode kernel in round 4: explicit True
+    resolves for covered configs, and the never-silent contract still
+    raises where the kernel cannot decode (random generator mode)."""
     from amp_sparc_spatialmodulation_tpu.models import montecarlo
     cfg = Config(Nt=16, Na=4, Nr=8, Lin=8, Lh=3, mode="segmented",
                  alphabet="QPSK", profile="uniform", trunc="tail")
-    with pytest.raises(ValueError, match="no fused decode kernel"):
-        montecarlo.resolve_use_pallas(True, cfg, "vamp2", "dense")
+    assert montecarlo.resolve_use_pallas(True, cfg, "vamp2", "dense")
+    cfg_rand = Config(Nt=16, Na=4, Nr=8, Lin=8, Lh=3, mode="random",
+                      alphabet="QPSK", profile="uniform", trunc="tail")
+    with pytest.raises(ValueError, match="does not cover"):
+        montecarlo.resolve_use_pallas(True, cfg_rand, "vamp2", "dense")
