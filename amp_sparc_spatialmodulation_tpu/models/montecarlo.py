@@ -50,7 +50,9 @@ def sum_realizations(realization, keys, snr):
     vmap is the default; when the realization runs the fused Pallas kernel
     the loop is unrolled instead — ``pallas_call`` with input/output
     aliasing doesn't batch reliably under vmap, and the realization count
-    per call is small.
+    per call is small.  Re-probed on hardware in round 4: a 2-wide vmap
+    of the flagship whole-decode realization wedges the compiler for
+    >10 minutes (never completed), so the unroll stands.
     """
     if getattr(realization, "use_pallas", False):
         sums = [realization(keys[i], snr) for i in range(keys.shape[0])]
