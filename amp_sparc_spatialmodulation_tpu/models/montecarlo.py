@@ -263,6 +263,7 @@ class TwoPhaseCore(NamedTuple):
     res: int
     cap: Optional[int] = None    # total iteration budget (cfg.N_Layers)
     k1: Optional[int] = None     # phase-1 budget
+    phase23: Optional[Callable] = None   # fused gather+decode+merge+eval
 
 
 def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
@@ -433,6 +434,16 @@ def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
         return metrics.evaluate_sums(stat, xmmse, regen_msg(key), merged.T,
                                      cfg)
 
+    def phase23(key, y, state, pad_idx, snr):
+        """Gather + continuation decode + scatter merge + evaluation as
+        ONE device program — the decomposed phase2/scatter_eval pair
+        plus the bucket gather cost three dispatch round-trips on the
+        remote tunnel; fused they cost one (bit-identical sums: the op
+        sequence is unchanged, only the jit boundary moved)."""
+        sub = state_take_trials(state, pad_idx)
+        s2 = phase2(key, y[pad_idx], sub, snr)
+        return scatter_eval(key, state, s2, pad_idx)
+
     def evaluate(key, state):
         stat, xmmse = views(state)
         return metrics.evaluate_sums(stat, xmmse, regen_msg(key), state.T,
@@ -441,7 +452,7 @@ def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
     return TwoPhaseCore(phase1=phase1, phase2=phase2,
                         scatter_eval=scatter_eval, evaluate=evaluate,
                         use_pallas=use_pallas, res=res,
-                        cap=cfg.N_Layers, k1=k1)
+                        cap=cfg.N_Layers, k1=k1, phase23=phase23)
 
 
 def make_two_phase_fns(cfg: Config, algo: str, channel_kind: str, res: int,
@@ -473,7 +484,8 @@ def make_two_phase_fns(cfg: Config, algo: str, channel_kind: str, res: int,
         jax.jit(core.phase1), lambda bucket: phase2,
         jax.jit(core.scatter_eval, donate_argnums=(1, 2)),
         jax.jit(core.evaluate, donate_argnums=(1,)),
-        cap=core.cap, k1=core.k1)
+        cap=core.cap, k1=core.k1,
+        phase23=jax.jit(core.phase23, donate_argnums=(1, 2)))
 
 
 class TwoPhaseFns(NamedTuple):
@@ -485,6 +497,7 @@ class TwoPhaseFns(NamedTuple):
     evaluate: Callable
     cap: Optional[int] = None
     k1: Optional[int] = None
+    phase23: Optional[Callable] = None
 
 
 def _pad_bucket(active: np.ndarray, min_bucket: int):
@@ -545,6 +558,10 @@ def run_two_phase_realization(fns, key, snr, min_bucket: int = 64,
     if int(active.sum()) == 0:
         return fns.evaluate(key, state)
     pad_idx, bucket = _pad_bucket(active, min_bucket)
+    if not ladder and fns.phase23 is not None:
+        # fused single-program continuation: gather + decode (with the
+        # in-graph compaction rung) + scatter merge + evaluation
+        return fns.phase23(key, y, state, pad_idx, snr)
     sub, y_sub = _take_trials_jit(state, y, pad_idx)
     cap, t = fns.cap, fns.k1
     stack = []                       # (parent_sub, pad_into_parent)
