@@ -511,7 +511,14 @@ def run_sharded_two_phase(fns: ShardedTwoPhaseFns, keys, snr, res: int,
     pad_rows = []
     for row in active:
         idx = np.flatnonzero(row)
-        fill = idx[0] if len(idx) else 0
+        # pad with a CONVERGED trial where one exists: its pad rows are
+        # frozen, so their tiles exit immediately and the in-graph
+        # compaction rung sees the true survivor count (an active-dup
+        # fill re-decodes the duplicate in every pad row — measured
+        # 2.5% on the single-device bench)
+        inactive = np.flatnonzero(~row)
+        fill = (inactive[0] if len(inactive)
+                else (idx[0] if len(idx) else 0))
         pad_rows.append(np.concatenate(
             [idx, np.full(bucket - len(idx), fill, np.int64)]))
     pad_idx = jnp.asarray(np.stack(pad_rows))
