@@ -106,11 +106,14 @@ class InfoTheory:
         ebn0_range = np.arange(start, final + step, step)
         snr_range = ebn0_range + 10 * np.log10(cfg.code_rate)
         base = jax.random.PRNGKey(self.seed)
-        # An instance-level _mutual_information override (subclass hook /
+        # An overridden _mutual_information (subclass hook or instance-level
         # test double) takes precedence over the batched device kernel —
         # the kernel is an optimization of that method, not a replacement
         # for its contract.
-        mi_override = "_mutual_information" in self.__dict__
+        mi_override = (
+            "_mutual_information" in self.__dict__
+            or type(self)._mutual_information
+            is not InfoTheory._mutual_information)
         mi_fn = None if mi_override else self._mi_device_fn(grid_points)
         # Epoch chunk sized to keep the (chunk, N^2, n, K+1) MI tensor and
         # its temporaries a few hundred MB.

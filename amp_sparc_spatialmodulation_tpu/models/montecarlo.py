@@ -207,7 +207,7 @@ def resolve_use_pallas(use_pallas, cfg: Config, algo: str,
 
 def pallas_kernel_class(algo: str):
     """The whole-decode kernel class for ``algo`` (None when no kernel
-    exists, e.g. vamp2).  Coverage/fit questions delegate to its
+    exists, e.g. an unknown algo).  Coverage/fit questions delegate to its
     ``covers``/``fits`` classmethods so 'auto' resolution can never drift
     from the constructors' own VMEM math."""
     if algo == "bamp":
@@ -552,6 +552,10 @@ def run_two_phase_realization(fns, key, snr, min_bucket: int = 64,
     with static half-bucket shapes) — no host sync.
     """
     if isinstance(fns, tuple) and not hasattr(fns, "cap"):
+        # Repacks a positional tuple of CURRENT-signature fields only:
+        # the phase2 callables must accept the trailing ``t`` argument
+        # (phase2(key, y, state, snr, t)); pre-``t`` 4-arg callables are
+        # not supported through this shim.
         fns = TwoPhaseFns(*fns)
     y, state = fns.phase1(key, snr)
     active = np.asarray(state.active)

@@ -145,7 +145,8 @@ def _linear_iteration(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
                       S_re, S_im, S_a2, St_re, St_im, St_a2, Gf_s, G2f_s,
                       *, Lin, Lout, Lh, Nt, Nr, Bt, trunc,
                       precision=jax.lax.Precision.HIGHEST,
-                      x_precision=None, fold_mode="roll", cmul="gauss"):
+                      x_precision=None, fold_mode="roll", cmul="gauss",
+                      gains_folded=False):
     """One iteration's linear part on the collapsed big planes.
 
     Inputs are ``(Lin*Bt, Nt)`` x-side / ``(Lout*Bt, Nr)`` y-side values;
@@ -158,37 +159,88 @@ def _linear_iteration(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
     adjoint) at a cheaper precision than the variance chain (Pv/cov),
     which must stay at the caller's ``precision`` — the posterior variance
     feeds the 1e-5 allclose early stop.  ``fold_mode`` selects the tap
-    lane-group fold: 'roll' (lane-roll + slice per tap — no matmul, no
-    72->128 lane-padding waste) or 'matmul' (the round-3 indicator-matmul
-    fold, kept for A/B).
+    lane-group fold: 'rollfirst' (rotate each tap's lane group to lanes
+    [0, Nr) BEFORE the row shift, accumulate full-width, slice once — no
+    masks, no group iota, Lh+2(Lh-1)+1 VPU ops per plane), 'roll' (the
+    round-4 masked shift-accumulate + lane-roll fold) or 'matmul' (the
+    round-3 indicator-matmul fold, kept for A/B).
+
+    ``gains_folded=True`` means the per-(tap, column-block) gains were
+    folded into the tap planes host-side (possible whenever the gains are
+    per-tap constants — every 'tail'/'cyclic' SPARC base matrix: ``W[c+l,
+    c] = pdp[l]/mean*Na/Nr`` depends on ``l`` only, `channel.py:80-83`).
+    All six per-iteration ``Gf``/``G2f`` full-plane VPU multiplies vanish,
+    and for ``cmul='gauss'`` the combo planes arrive host-precomputed in
+    the freed slots: ``S_im``<-``S_im_g - S_re_g``, ``Gf_s``<-``S_re_g +
+    S_im_g``, ``St_im``<-``-(St_im_g + St_re_g)``, ``G2f_s``<-``St_re_g -
+    St_im_g`` (the per-iteration (Nt, Lh*Nr) combo adds vanish too).
+
+    ``xm_im=None`` declares the x-side imaginary part identically zero
+    (real alphabets — OOK/BPSK: the segmented posterior mean ``sum_k s_k
+    eta_k`` is exactly real when every ``s_k`` is, and the initial prior
+    mean is real): the forward complex product loses one of its matmuls
+    and all ``xm_im`` elementwise work.
     """
     dot = make_dot(precision)
     dot_x = dot if x_precision is None else make_dot(x_precision)
     Gf, G2f = Gf_s, G2f_s
     # ---- forward: one big matmul per plane, then Lh slice-adds ---------
-    Pv = G2f * dot(var, S_a2)                       # (Lin*Bt, Lh*Nr)
+    Pv = dot(var, S_a2) if gains_folded else G2f * dot(var, S_a2)
     if cmul == "gauss":
         # Gauss 3-multiplication complex product: (a+ib)(c+id) via
         # k1=(a+b)@c, k2=a@(d-c), k3=b@(c+d); re=k1-k3, im=k1+k2.
-        # 3 MXU matmuls instead of 4 at unchanged output precision
-        # (the operand sums are exact f32 adds, then the same HIGHEST
-        # 6-pass decomposition) — the stage profiler measures the 10
+        # 3 MXU matmuls instead of 4 through the same HIGHEST 6-pass
+        # matmul decomposition; the shared-term cancellation gives a
+        # slightly different f32 error profile than the 4-multiply form
+        # (covered by the kernel-vs-XLA parity tolerances in
+        # tests/test_parallel.py) — the stage profiler measures the 10
         # main matmuls as ~82% of the kernel body, so dropping 4 of
         # them to 3 is the cheapest parity-safe MXU saving.  The tap
         # combos are (Nt, Lh*Nr) VPU adds recomputed per iteration
+        # unless ``gains_folded`` delivers them precomputed
         # (resident-hoisting cost the VAMP kernel 100M spill slots).
-        dmc = S_im - S_re
-        cpd = S_re + S_im
-        k1 = dot_x(xm_re + xm_im, S_re)
-        k2 = dot_x(xm_re, dmc)
-        k3 = dot_x(xm_im, cpd)
-        Pr = Gf * (k1 - k3)
-        Pi = Gf * (k1 + k2)
+        dmc = S_im if gains_folded else S_im - S_re
+        if xm_im is None:
+            # real x: (a)(c+id) = ac + i ad; ad = a@(d-c) + a@c = k2+k1.
+            k1 = dot_x(xm_re, S_re)
+            k2 = dot_x(xm_re, dmc)
+            Pr, Pi = k1, k1 + k2
+        else:
+            cpd = Gf_s if gains_folded else S_re + S_im
+            k1 = dot_x(xm_re + xm_im, S_re)
+            k2 = dot_x(xm_re, dmc)
+            k3 = dot_x(xm_im, cpd)
+            Pr, Pi = k1 - k3, k1 + k2
     else:
-        Pr = Gf * (dot_x(xm_re, S_re) - dot_x(xm_im, S_im))
-        Pi = Gf * (dot_x(xm_im, S_re) + dot_x(xm_re, S_im))
+        if xm_im is None:
+            Pr = dot_x(xm_re, S_re)
+            Pi = dot_x(xm_re, S_im)
+        else:
+            Pr = dot_x(xm_re, S_re) - dot_x(xm_im, S_im)
+            Pi = dot_x(xm_im, S_re) + dot_x(xm_re, S_im)
+    if not gains_folded:
+        Pr, Pi = Gf * Pr, Gf * Pi
     W = Lh * Nr
-    if fold_mode == "roll":
+    if fold_mode == "rollfirst":
+        # Rotate tap group l's lanes to [0, Nr) first (l=0 is free), THEN
+        # row-shift the full-width plane and accumulate; one slice at the
+        # end.  Lanes >= Nr accumulate other groups' wrapped garbage and
+        # are sliced away — no masks, no group iota, and no separate
+        # lane-fold pass: (Lh-1) rolls + Lh shifts + (Lh-1) adds + 1
+        # slice per plane vs 'roll' mode's 3 masks + 3 shifts + 2 adds +
+        # 2 rolls + 2 adds + slice.
+        def foldshift(P):
+            acc = None
+            for l in range(Lh):
+                r = P if l == 0 else pltpu.roll(P, shift=W - l * Nr, axis=1)
+                c = _band_shift(r, l, Bt, Lin, Lout, trunc)
+                acc = c if acc is None else acc + c
+            return acc[:, :Nr]
+
+        v = foldshift(Pv)
+        hx_re = foldshift(Pr)
+        hx_im = foldshift(Pi)
+    elif fold_mode == "roll":
         # Masked full-width band shift-accumulate (identical to 'matmul'
         # mode — every concat operand stays at lane offset 0, which Mosaic
         # requires), then fold the Lh lane groups with (Lh-1)*3 VPU lane

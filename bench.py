@@ -29,15 +29,30 @@ def log(*a):
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "bench_cache.json")
 
+# Best measurement of THIS process, updated after every rep — the
+# watchdog prefers it over the stale disk cache so a stall mid-run
+# still reports this-session data (VERDICT r4 item 2).
+_session_best = None
+
 
 def _watchdog(seconds: int):
     """The remote-TPU tunnel intermittently wedges compiles for 10+ minutes
     (uninterruptible XLA calls).  If the measurement exceeds the deadline,
-    emit the last good measurement clearly marked as cached, so a wedged
-    tunnel yields an honest stale number instead of a hung process."""
+    emit the best measurement so far — this session's partial result when
+    at least one rep completed (the rep loop updates ``_session_best``
+    and the disk cache incrementally), else the last good run's cache,
+    clearly marked — so a wedged tunnel yields an honest number instead
+    of a hung process."""
     import threading
 
     def fire():
+        if _session_best is not None:
+            out = dict(_session_best)
+            out["unit"] += " [partial: tunnel stalled mid-run]"
+            print(json.dumps(out), flush=True)
+            log(f"watchdog: exceeded {seconds}s; reported this session's "
+                "best completed rep")
+            os._exit(0)
         try:
             with open(CACHE) as f:
                 cached = json.load(f)
@@ -180,6 +195,22 @@ def main():
     # variance on identical work); take the best of several repetitions to
     # measure machine capability rather than tunnel weather.
     reps = int(os.environ.get("BENCH_REPS", "4"))
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "reference_baseline.json")
+    with open(baseline_path) as f:
+        ref = json.load(f)
+
+    def payload_of(rep):
+        return {
+            "metric": "bamp_flagship_trials_per_s",
+            "value": round(rep["trials_per_s"], 2),
+            "unit": ("trials/s (BAMPfinal OOK Nt=128 @ 8dB, "
+                     "incl. chan+msg gen)"),
+            "vs_baseline": round(rep["trials_per_s"] / ref["trials_per_s"],
+                                 2),
+        }
+
+    global _session_best
     best = None
     for r in range(reps):
         t0 = time.perf_counter()
@@ -198,6 +229,14 @@ def main():
             f"{rep['trials_per_s']:.1f} trials/s")
         if best is None or rep["trials_per_s"] > best["trials_per_s"]:
             best = rep
+            # Incremental checkpoint: a tunnel stall in a LATER rep (or a
+            # later-run crash) still reports/caches this-session data.
+            _session_best = payload_of(best)
+            try:
+                with open(CACHE, "w") as f:
+                    json.dump(_session_best, f)
+            except OSError:
+                pass
 
     trials_per_s = best["trials_per_s"]
     log(f"best: {trials_per_s:.1f} trials/s  meanT={best['meanT']:.2f}  "
@@ -211,18 +250,8 @@ def main():
         f"({rl['mfu_vs_bf16_peak']:.1%} of bf16 peak); "
         f"HBM roof {rl['hbm_bound_tflops']:.1f} TFLOP/s")
 
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "reference_baseline.json")
-    with open(baseline_path) as f:
-        ref = json.load(f)
-
     timer.cancel()
-    payload = {
-        "metric": "bamp_flagship_trials_per_s",
-        "value": round(trials_per_s, 2),
-        "unit": "trials/s (BAMPfinal OOK Nt=128 @ 8dB, incl. chan+msg gen)",
-        "vs_baseline": round(trials_per_s / ref["trials_per_s"], 2),
-    }
+    payload = payload_of(best)
     try:
         with open(CACHE, "w") as f:
             json.dump(payload, f)
