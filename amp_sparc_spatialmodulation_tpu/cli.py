@@ -77,11 +77,13 @@ def main(argv=None) -> int:
                        help="tensor-parallel size (BAMP only)")
     sweep.add_argument("--estimate-phi", action="store_true",
                        help="SCAMP empirical residual variance (estSCAMP)")
-    sweep.add_argument("--two-phase", type=int, default=None, metavar="K1",
+    sweep.add_argument("--two-phase", default=None, metavar="K1",
+                       type=lambda s: s if s == "auto" else int(s),
                        help="continuation batching: cap phase 1 at K1 "
                             "iterations, finish the unconverged tail in a "
-                            "compact bucket (pick K1 just above the "
-                            "point's mean T)")
+                            "compact bucket; 'auto' picks K1 per point "
+                            "from the previous point's measured mean T "
+                            "(quantized grid, compiled bundles cached)")
     sweep.add_argument("--chans", type=int, default=1,
                        help="channel realizations vmapped per device call")
     sweep.add_argument("--use-pallas", default="auto",
@@ -91,7 +93,7 @@ def main(argv=None) -> int:
                             "on TPU, VMEM tile fit checked; 'true' also "
                             "covers SCAMP)")
     sweep.add_argument("--precision", default="highest",
-                       choices=["highest", "high", "default"],
+                       choices=["highest", "high", "default", "auto"],
                        help="matmul precision: 'highest' (6-pass f32, "
                             "reference-faithful trajectories) | 'high' "
                             "(3-pass bf16 — measured 1.24-1.51x on VAMP "
@@ -99,7 +101,11 @@ def main(argv=None) -> int:
                             "noise, but iteration counts T inflate where "
                             "trials early-stop: the 3-pass error sits at "
                             "the 1e-5 allclose tolerance) | 'default' "
-                            "(1-pass bf16, breaks early stopping)")
+                            "(1-pass bf16, breaks early stopping) | "
+                            "'auto' (per point: HIGH when the previous "
+                            "point's mean T pinned at the iteration cap "
+                            "— the flutter hazard is void in the "
+                            "cap-running regime — else HIGHEST)")
     sweep.add_argument("--plot", action="store_true")
 
     plot = sub.add_parser("plot", help="rebuild plots from artifacts")
@@ -199,7 +205,8 @@ def main(argv=None) -> int:
                   else args.use_pallas == "true")
     precision = {"highest": jax.lax.Precision.HIGHEST,
                  "high": jax.lax.Precision.HIGH,
-                 "default": jax.lax.Precision.DEFAULT}[args.precision]
+                 "default": jax.lax.Precision.DEFAULT,
+                 "auto": "auto"}[args.precision]
     kw = dict(algo=args.algo, channel_kind=args.channel, out_root=args.out,
               algo_dir=args.algo_dir, seed=args.seed,
               estimate_phi=args.estimate_phi, operator_form=args.operator,

@@ -170,7 +170,10 @@ def banded_toeplitz(key, cfg: Config,
                     precision=lax.Precision.HIGHEST) -> BandedOperator:
     """Tap-form equivalent of ``generate_channel`` (`channel.py:40-73`)."""
     h = channel_ops.sample_taps(key, cfg)
-    gains = jnp.ones((cfg.Lh, cfg.Lin), jnp.float32)
+    # numpy (not jnp): gains are cfg-deterministic, and the Pallas kernels
+    # inspect them host-side to fold per-tap-constant gains into the tap
+    # planes (fused_bamp._gains_per_tap).
+    gains = np.ones((cfg.Lh, cfg.Lin), np.float32)
     return BandedOperator(h=h, gains=gains, Lin=cfg.Lin, Lout=cfg.Lout,
                           trunc=cfg.trunc, precision=precision)
 
@@ -193,7 +196,9 @@ def banded_sparc(key, cfg: Config, precision=lax.Precision.HIGHEST):
     """
     W = channel_ops.base_matrix(cfg)
     h = channel_ops.sample_sparc_taps(key, cfg)
-    op = BandedOperator(h=h, gains=jnp.asarray(sparc_gains(cfg, W)),
+    # gains stay numpy (cfg-deterministic) so the Pallas kernels can fold
+    # per-tap-constant gains host-side (fused_bamp._gains_per_tap).
+    op = BandedOperator(h=h, gains=sparc_gains(cfg, W),
                         Lin=cfg.Lin, Lout=cfg.Lout, trunc=cfg.trunc,
                         precision=precision)
     return jnp.asarray(W), op

@@ -222,19 +222,22 @@ def _linear_iteration(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
         Pr, Pi = Gf * Pr, Gf * Pi
     W = Lh * Nr
     if fold_mode == "rollfirst":
-        # Rotate tap group l's lanes to [0, Nr) first (l=0 is free), THEN
-        # row-shift the full-width plane and accumulate; one slice at the
-        # end.  Lanes >= Nr accumulate other groups' wrapped garbage and
-        # are sliced away — no masks, no group iota, and no separate
-        # lane-fold pass: (Lh-1) rolls + Lh shifts + (Lh-1) adds + 1
+        # Per-tap shift-then-roll, NO masks: row-shift the full-width
+        # plane first (offset-0 concat — the only form Mosaic's sublane
+        # concat accepts), rotate tap group l's lanes to [0, Nr), and
+        # accumulate; lanes >= Nr collect other groups' wrapped garbage
+        # and are sliced away once.  Rolling per tap BEFORE the
+        # accumulation is what removes the 'roll' mode's masks — there
+        # the taps were summed into shared lane groups first, so each
+        # needed masking.  Lh shifts + (Lh-1) rolls + (Lh-1) adds + 1
         # slice per plane vs 'roll' mode's 3 masks + 3 shifts + 2 adds +
-        # 2 rolls + 2 adds + slice.
+        # 2 rolls + 2 adds + slice (plus its group iota).
         def foldshift(P):
             acc = None
             for l in range(Lh):
-                r = P if l == 0 else pltpu.roll(P, shift=W - l * Nr, axis=1)
-                c = _band_shift(r, l, Bt, Lin, Lout, trunc)
-                acc = c if acc is None else acc + c
+                c = _band_shift(P, l, Bt, Lin, Lout, trunc)
+                r = c if l == 0 else pltpu.roll(c, shift=W - l * Nr, axis=1)
+                acc = r if acc is None else acc + r
             return acc[:, :Nr]
 
         v = foldshift(Pv)
@@ -311,20 +314,28 @@ def _linear_iteration(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
     Zi = jnp.concatenate(
         [_band_gather(ri, l, Bt, Lin, Lout, trunc) for l in range(Lh)],
         axis=1)
-    cov = 1.0 / dot(G2f * Zc, St_a2)                # (Lin*Bt, Nt)
+    if gains_folded:
+        cov = 1.0 / dot(Zc, St_a2)                  # (Lin*Bt, Nt)
+        A, Bp = Zr, Zi
+    else:
+        cov = 1.0 / dot(G2f * Zc, St_a2)
+        A, Bp = Gf * Zr, Gf * Zi
     if cmul == "gauss":
         # adjoint wants re=A@c+B@d, im=B@c-A@d — the forward identity
         # with d -> -d: k1=(A+B)@c, k2=A@(-d-c), k3=B@(c-d).
-        A, Bp = Gf * Zr, Gf * Zi
+        amc = St_im if gains_folded else -St_im - St_re
+        adm = G2f_s if gains_folded else St_re - St_im
         k1 = dot_x(A + Bp, St_re)
-        k2 = dot_x(A, -St_im - St_re)
-        k3 = dot_x(Bp, St_re - St_im)
+        k2 = dot_x(A, amc)
+        k3 = dot_x(Bp, adm)
         adj_re = k1 - k3
         adj_im = k1 + k2
     else:
-        adj_re = dot_x(Gf * Zr, St_re) + dot_x(Gf * Zi, St_im)
-        adj_im = dot_x(Gf * Zi, St_re) - dot_x(Gf * Zr, St_im)
-    return (xm_re + cov * adj_re, xm_im + cov * adj_im, cov,
+        adj_re = dot_x(A, St_re) + dot_x(Bp, St_im)
+        adj_im = dot_x(Bp, St_re) - dot_x(A, St_im)
+    xmap_im = (cov * adj_im if xm_im is None
+               else xm_im + cov * adj_im)
+    return (xm_re + cov * adj_re, xmap_im, cov,
             zn_re, zn_im, un)
 
 
@@ -433,9 +444,14 @@ def _seg_denoiser(xr, xi, cov, *, Nt, M, sym_re, sym_im, want_var=True,
     feed the 1e-5 allclose convergence test); ``segred`` picks rolls vs
     indicator matmuls."""
     rows = xr.shape[0]
+    real_x = xi is None
     pos = jax.lax.broadcasted_iota(jnp.int32, (rows, Nt), 1) % M
     inv = (2.0 if halve else 1.0) / cov
-    ts = [(xr * sr + xi * si) * inv for sr, si in zip(sym_re, sym_im)]
+    # Real alphabets (every sym_im == 0) with a real x-side (``xi=None``)
+    # drop every imaginary elementwise op; the output ``xm_im`` is None
+    # (exactly what ``sum_k s_k eta_k`` would give — identical zeros).
+    ts = [xr * sr * inv if real_x else (xr * sr + xi * si) * inv
+          for sr, si in zip(sym_re, sym_im)]
     m_lane = ts[0]
     for tk in ts[1:]:
         m_lane = jnp.maximum(m_lane, tk)
@@ -448,12 +464,16 @@ def _seg_denoiser(xr, xi, cov, *, Nt, M, sym_re, sym_im, want_var=True,
     eta2 = _seg_reduce_bcast(lane_sum, Nt=Nt, M=M, pos=pos, op="sum",
                              mode=segred)         # per-segment totals >= 1
     xm_re = sym_re[0] * etas[0]
-    xm_im = sym_im[0] * etas[0]
+    xm_im = None if real_x else sym_im[0] * etas[0]
     for sr, si, e in zip(sym_re[1:], sym_im[1:], etas[1:]):
         xm_re = xm_re + sr * e
-        xm_im = xm_im + si * e
+        if not real_x:
+            xm_im = xm_im + si * e
     xm_re = xm_re / eta2
-    xm_im = xm_im / eta2
+    if not real_x:
+        xm_im = xm_im / eta2
+    mag2 = (xm_re * xm_re if real_x
+            else xm_re * xm_re + xm_im * xm_im)
     if not want_var:
         return xm_re, xm_im, None
     if var_form == "second_moment":
@@ -461,12 +481,12 @@ def _seg_denoiser(xr, xi, cov, *, Nt, M, sym_re, sym_im, want_var=True,
         for sr, si, e in zip(sym_re, sym_im, etas):
             m2 = (sr * sr + si * si) * e
             second = m2 if second is None else second + m2
-        return (xm_re, xm_im,
-                second / eta2 - (xm_re * xm_re + xm_im * xm_im))
-    var0 = (xm_re * xm_re + xm_im * xm_im) * (1.0 - lane_sum / eta2)
+        return xm_re, xm_im, second / eta2 - mag2
+    var0 = mag2 * (1.0 - lane_sum / eta2)
     vars_ = None
     for sr, si, e in zip(sym_re, sym_im, etas):
-        d = (xm_re - sr) ** 2 + (xm_im - si) ** 2
+        d = ((xm_re - sr) ** 2 if real_x
+             else (xm_re - sr) ** 2 + (xm_im - si) ** 2)
         vars_ = d * e if vars_ is None else vars_ + d * e
     return xm_re, xm_im, var0 + vars_ / eta2
 
@@ -481,10 +501,17 @@ def _mix_denoiser(xr, xi, cov, *, sym_re, sym_im, Ps, P0):
     (`bamp.py:79-97`): ``p(x) = P0 delta(x) + Ps sum_k delta(x - s_k)``
     under a Gaussian likelihood of variance ``cov``.  Purely lane-local
     (no segment reductions), symbols unrolled statically."""
+    # Real alphabets (every sym_im == 0): the Gaussian likelihood still
+    # needs the full |x|^2 (the INPUT xi stays), but the posterior-mean
+    # imaginary part ``Ps sum_k s_im g_k / norm`` is identically zero —
+    # its elementwise chain is dropped and ``m_im`` returns None.
+    real_sym = all(float(si) == 0.0 for si in sym_im)
     inv = 1.0 / cov
-    e0 = jnp.exp(-jnp.minimum((xr * xr + xi * xi) * inv, _EXP_MAX))
+    xi2 = xi * xi                   # shared across symbols when real_sym
+    e0 = jnp.exp(-jnp.minimum((xr * xr + xi2) * inv, _EXP_MAX))
     gs = [jnp.exp(-jnp.minimum(
-        ((xr - sr) ** 2 + (xi - si) ** 2) * inv, _EXP_MAX))
+        (((xr - sr) ** 2 + xi2) if real_sym
+         else (xr - sr) ** 2 + (xi - si) ** 2) * inv, _EXP_MAX))
         for sr, si in zip(sym_re, sym_im)]
     gsum = gs[0]
     for g in gs[1:]:
@@ -492,15 +519,19 @@ def _mix_denoiser(xr, xi, cov, *, sym_re, sym_im, Ps, P0):
     norm = P0 * e0 + Ps * gsum
     norm = jnp.where(norm == 0.0, _ZERO_TOL, norm)
     m_re = sym_re[0] * gs[0]
-    m_im = sym_im[0] * gs[0]
+    m_im = None if real_sym else sym_im[0] * gs[0]
     second = (sym_re[0] ** 2 + sym_im[0] ** 2) * gs[0]
     for sr, si, g in zip(sym_re[1:], sym_im[1:], gs[1:]):
         m_re = m_re + sr * g
-        m_im = m_im + si * g
+        if not real_sym:
+            m_im = m_im + si * g
         second = second + (sr * sr + si * si) * g
     m_re = Ps * m_re / norm
-    m_im = Ps * m_im / norm
-    var = Ps * second / norm - (m_re * m_re + m_im * m_im)
+    mag2 = m_re * m_re
+    if not real_sym:
+        m_im = Ps * m_im / norm
+        mag2 = mag2 + m_im * m_im
+    var = Ps * second / norm - mag2
     return m_re, m_im, var
 
 
@@ -581,7 +612,7 @@ def _decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
                    precision=jax.lax.Precision.HIGHEST,
                    den="seg", Ps=0.0, P0=0.0,
                    x_precision=None, fold_mode="roll", segred="roll",
-                   cmul="gauss"):
+                   cmul="gauss", gains_folded=False, real_x=False):
     """The WHOLE BAMP decode for one trial tile in a single kernel: an
     in-kernel ``while_loop`` runs complete iterations (linear maps +
     segmented denoiser + per-trial freeze + convergence) with all state
@@ -594,6 +625,15 @@ def _decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
 
     ``cap`` is the REMAINING iteration budget (SMEM scalar, so one
     compilation serves both two-phase phases at a given batch shape).
+
+    ``real_x=True`` (real alphabets — every ``sym_im == 0``): the
+    x-side posterior mean is exactly real at every iteration (the
+    denoiser mean is a real-weighted sum of real symbols and the initial
+    prior mean is real), so ``xm_im`` leaves the loop carry entirely —
+    the forward complex product loses one matmul and the denoiser its
+    imaginary elementwise chain; the ``xn_im`` output (and its aliased
+    input) is pinned to zeros.  Bit-identical to the general path: every
+    dropped op had an exactly-zero operand.
     """
     sigma2 = sigma2_ref[0]
     cap = cap_ref[0]
@@ -602,19 +642,25 @@ def _decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
             St_re_ref[:], St_im_ref[:], St_a2_ref[:], Gf_ref[:], G2f_ref[:])
     geom = dict(Lin=Lin, Lout=Lout, Lh=Lh, Nt=Nt, Nr=Nr, Bt=Bt, trunc=trunc,
                 precision=precision, x_precision=x_precision,
-                fold_mode=fold_mode, cmul=cmul)
+                fold_mode=fold_mode, cmul=cmul, gains_folded=gains_folded)
     init = (jnp.int32(0), act_ref[:], T_ref[:],
             _x2d(xmap_re_ref, Bt, Nt), _x2d(xmap_im_ref, Bt, Nt),
-            _x2d(xm_re_ref, Bt, Nt), _x2d(xm_im_ref, Bt, Nt),
-            _x2d(var_ref, Bt, Nt),
-            _x2d(z_re_ref, Bt, Nr), _x2d(z_im_ref, Bt, Nr),
-            _x2d(u_ref, Bt, Nr))
+            _x2d(xm_re_ref, Bt, Nt))
+    init += () if real_x else (_x2d(xm_im_ref, Bt, Nt),)
+    init += (_x2d(var_ref, Bt, Nt),
+             _x2d(z_re_ref, Bt, Nr), _x2d(z_im_ref, Bt, Nr),
+             _x2d(u_ref, Bt, Nr))
 
     def cond(c):
         return jnp.logical_and(c[0] < cap, jnp.sum(c[1]) > 0.0)
 
     def body(c):
-        t, act, T, xmap_re, xmap_im, xm_re, xm_im, var, z_re, z_im, u = c
+        if real_x:
+            t, act, T, xmap_re, xmap_im, xm_re, var, z_re, z_im, u = c
+            xm_im = None
+        else:
+            (t, act, T, xmap_re, xmap_im, xm_re, xm_im, var,
+             z_re, z_im, u) = c
         xr, xi, cov, zn_re, zn_im, un = _linear_iteration(
             sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
             *taps, **geom)
@@ -622,36 +668,51 @@ def _decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
             dn_re, dn_im, varn = _mix_denoiser(xr, xi, cov, sym_re=sym_re,
                                                sym_im=sym_im, Ps=Ps, P0=P0)
         else:
-            dn_re, dn_im, varn = _seg_denoiser(xr, xi, cov, Nt=Nt, M=M,
-                                               sym_re=sym_re, sym_im=sym_im,
-                                               segred=segred)
-        # per-trial torch.allclose(var_new, var_old) (`bamp.py:140`)
+            dn_re, dn_im, varn = _seg_denoiser(
+                xr, None if real_x else xi, cov, Nt=Nt, M=M,
+                sym_re=sym_re, sym_im=sym_im, segred=segred)
+        # per-trial torch.allclose(var_new, var_old) (`bamp.py:140`):
+        # tree-fold the Lin block rows (ceil(log2 Lin) slice-adds instead
+        # of Lin-1 sequential ones).
         bad = (jnp.abs(varn - var)
                > 1e-8 + 1e-5 * jnp.abs(var)).astype(jnp.float32)
         nb = bad.sum(axis=1, keepdims=True)          # (Lin*Bt, 1)
-        notok = nb[:Bt]                              # fold the Lin blocks
-        for l in range(1, Lin):
-            notok = notok + nb[l * Bt:(l + 1) * Bt]  # (Bt, 1)
+        blocks = Lin
+        while blocks > 1:
+            half = blocks // 2
+            tail = nb[(blocks - half) * Bt:blocks * Bt]
+            nb = nb[:(blocks - half) * Bt]
+            nb = jnp.concatenate(
+                [nb[:half * Bt] + tail, nb[half * Bt:]], axis=0) \
+                if blocks % 2 else nb + tail
+            blocks -= half
+        notok = nb                                   # (Bt, 1)
         mx = jnp.concatenate([act] * Lin, axis=0)
         my = jnp.concatenate([act] * Lout, axis=0)
         sel = lambda m, new, old: jnp.where(m > 0.0, new, old)
-        return (t + 1,
-                act * (notok > 0.0).astype(jnp.float32),
-                T + act,
-                sel(mx, xr, xmap_re), sel(mx, xi, xmap_im),
-                sel(mx, dn_re, xm_re), sel(mx, dn_im, xm_im),
-                sel(mx, varn, var),
-                sel(my, zn_re, z_re), sel(my, zn_im, z_im),
-                sel(my, un, u))
+        out = (t + 1,
+               act * (notok > 0.0).astype(jnp.float32),
+               T + act,
+               sel(mx, xr, xmap_re), sel(mx, xi, xmap_im),
+               sel(mx, dn_re, xm_re))
+        if not real_x:
+            out += (sel(mx, dn_im, xm_im),)
+        return out + (sel(mx, varn, var),
+                      sel(my, zn_re, z_re), sel(my, zn_im, z_im),
+                      sel(my, un, u))
 
     c = jax.lax.while_loop(cond, body, init)
-    _, act, T, xmap_re, xmap_im, xm_re, xm_im, var, z_re, z_im, u = c
+    if real_x:
+        _, act, T, xmap_re, xmap_im, xm_re, var, z_re, z_im, u = c
+        xn_im_o[:] = jnp.zeros((Lin, Bt, Nt), jnp.float32)
+    else:
+        _, act, T, xmap_re, xmap_im, xm_re, xm_im, var, z_re, z_im, u = c
+        xn_im_o[:] = xm_im.reshape(Lin, Bt, Nt)
     act_o[:] = act
     T_o[:] = T
     xmap_re_o[:] = xmap_re.reshape(Lin, Bt, Nt)
     xmap_im_o[:] = xmap_im.reshape(Lin, Bt, Nt)
     xn_re_o[:] = xm_re.reshape(Lin, Bt, Nt)
-    xn_im_o[:] = xm_im.reshape(Lin, Bt, Nt)
     varn_o[:] = var.reshape(Lin, Bt, Nt)
     zn_re_o[:] = z_re.reshape(Lout, Bt, Nr)
     zn_im_o[:] = z_im.reshape(Lout, Bt, Nr)
@@ -788,6 +849,47 @@ class _PlaneKernelBase:
         self.Gf = gf
         self.G2f = gf * gf
 
+    def _gains_per_tap(self):
+        """(Lh,) per-tap gains when every column block shares them, else
+        None.  True for every 'tail'/'cyclic' SPARC base matrix —
+        ``W[c+l, c] = pdp[l]/mean * Na/Nr`` depends on the tap only
+        (`channel.py:80-83`) — and for the unit-gain Toeplitz channel;
+        only 'trunc' truncation (dropped rows zero some gains) and
+        custom column-dependent allocations fall back.  Needs concrete
+        (non-traced) gains; operators keep them host-side numpy."""
+        g = self.op.gains
+        if isinstance(g, np.ndarray):
+            gh = np.asarray(g, np.float32)
+        elif getattr(g, "aval", None) is not None and not isinstance(
+                g, jax.core.Tracer):
+            gh = np.asarray(g, np.float32)     # concrete device constant
+        else:
+            return None
+        if gh.size and np.all(gh == gh[:, :1]):
+            return gh[:, 0]
+        return None
+
+    def _fold_taps(self, cmul: str):
+        """Pre-scale the tap planes by the per-tap gains and (for the
+        Gauss complex product) pre-build the combo planes, so the kernel
+        skips all six per-iteration gain multiplies and four combo adds.
+        Returns the 8-tuple filling the kernel's tap/gain slots; see
+        ``_linear_iteration(gains_folded=True)`` for the slot map."""
+        gl = self._gains_per_tap()
+        assert gl is not None
+        lane = np.repeat(gl, self.op.Nr)[None, :]     # (1, Lh*Nr)
+        S_re_g = self.S_re * lane
+        S_im_g = self.S_im * lane
+        S_a2_g2 = self.S_a2 * (lane * lane)
+        St_re_g, St_im_g, St_a2_g2 = S_re_g.T, S_im_g.T, S_a2_g2.T
+        if cmul == "gauss":
+            return (S_re_g, S_im_g - S_re_g, S_a2_g2,
+                    St_re_g, -St_im_g - St_re_g, St_a2_g2,
+                    S_re_g + S_im_g, St_re_g - St_im_g)
+        dummy = jnp.zeros((8, 128), jnp.float32)
+        return (S_re_g, S_im_g, S_a2_g2, St_re_g, St_im_g, St_a2_g2,
+                dummy, dummy)
+
     def _to_x(self, a):
         """(B, Lin*Nt) -> (Lin, B, Nt)."""
         B = a.shape[0]
@@ -854,9 +956,9 @@ class FusedBandedDecode(_PlaneKernelBase):
         if den == "seg" and M <= 0:
             raise ValueError("whole-decode kernel needs segment size M")
         self.den, self.Ps, self.P0 = den, float(Ps), float(P0)
-        # A/B experiment knobs (round-4 kernel ladder; defaults are the
-        # measured winners — see scripts/profile_kernel_stages.py).
-        self.fold_mode = os.environ.get("AMP_KERNEL_FOLD", "roll")
+        # A/B experiment knobs (round-4/5 kernel ladders; defaults are
+        # the measured winners — see scripts/profile_kernel_stages.py).
+        self.fold_mode = os.environ.get("AMP_KERNEL_FOLD", "rollfirst")
         self.segred = os.environ.get("AMP_KERNEL_SEGRED", "roll")
         self.cmul = os.environ.get("AMP_KERNEL_CMUL", "gauss")
         xp = os.environ.get("AMP_KERNEL_XMAP_PRECISION", "")
@@ -864,6 +966,10 @@ class FusedBandedDecode(_PlaneKernelBase):
         syms = [complex(s) for s in symbols]
         self.sym_re = tuple(np.float32(s.real) for s in syms)
         self.sym_im = tuple(np.float32(s.imag) for s in syms)
+        # Real alphabets (OOK/BPSK) drop the x-side imaginary state from
+        # the in-kernel loop carry (bit-identical — see _decode_kernel).
+        self.real_x = (all(float(si) == 0.0 for si in self.sym_im)
+                       and os.environ.get("AMP_KERNEL_REAL", "1") != "0")
         self.M = M
         self.interpret = interpret
         self.precision = precision
@@ -876,6 +982,16 @@ class FusedBandedDecode(_PlaneKernelBase):
             raise NoVmemTileError(
                 "no trial tile fits VMEM for this geometry")
         self._setup(op, tile)
+        # Per-tap-constant gains fold into the tap planes host-side
+        # (kills the 6 per-iteration gain multiplies; the Gauss combo
+        # planes come precomputed too).  Column-dependent gains keep the
+        # resident Gf/G2f plane path.
+        self.gains_folded = (os.environ.get("AMP_KERNEL_GAINS", "1") != "0"
+                             and self._gains_per_tap() is not None)
+        self._tap_args = (self._fold_taps(self.cmul) if self.gains_folded
+                          else (self.S_re, self.S_im, self.S_a2,
+                                self.S_re.T, self.S_im.T, self.S_a2.T,
+                                self.Gf, self.G2f))
 
     def decode_call(self, sigma2, cap, act, T,
                     xmap_re, xmap_im, xm_re, xm_im, var,
@@ -908,7 +1024,8 @@ class FusedBandedDecode(_PlaneKernelBase):
             sym_im=self.sym_im, precision=self.precision,
             den=self.den, Ps=self.Ps, P0=self.P0,
             x_precision=self.x_precision, fold_mode=self.fold_mode,
-            segred=self.segred, cmul=self.cmul)
+            segred=self.segred, cmul=self.cmul,
+            gains_folded=self.gains_folded, real_x=self.real_x)
         # inputs: 0 sigma2, 1 cap, 2 act, 3 T, 4-8 x-planes, 9-11 z/u,
         # 12-13 y, 14-21 taps/gains; outputs: 0-4 x-planes, 5-7 z/u,
         # 8 act, 9 T
@@ -929,8 +1046,7 @@ class FusedBandedDecode(_PlaneKernelBase):
         )(jnp.asarray(sigma2, jnp.float32).reshape(1),
           jnp.asarray(cap, jnp.int32).reshape(1), act, T,
           xmap_re, xmap_im, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
-          self.S_re, self.S_im, self.S_a2,
-          self.S_re.T, self.S_im.T, self.S_a2.T, self.Gf, self.G2f)
+          *self._tap_args)
 
 
 class FusedBandedIteration(_PlaneKernelBase):

@@ -547,7 +547,7 @@ class ShardedSimulator(montecarlo.Simulator):
         return make_sharded_step(self.cfg, self.algo, self.channel_kind,
                                  res, self.mesh,
                                  chans_per_device=self.chans_per_batch,
-                                 precision=self.precision,
+                                 precision=self._effective_precision(),
                                  estimate_phi=self.estimate_phi,
                                  operator_form=self.operator_form,
                                  use_pallas=self.use_pallas)
@@ -565,13 +565,7 @@ class ShardedSimulator(montecarlo.Simulator):
         snr_db = ebn0_db + 10 * np.log10(cfg.code_rate)
         snr = jnp.asarray(10 ** (snr_db / 10), jnp.float32)
         if self.two_phase is not None:
-            if self._tp_fns is None or self._tp_fns[0] != res:
-                self._tp_fns = (res, make_sharded_two_phase_fns(
-                    cfg, self.algo, self.channel_kind, res, self.two_phase,
-                    self.mesh, chans_per_device=C, precision=self.precision,
-                    operator_form=self.operator_form,
-                    estimate_phi=self.estimate_phi,
-                    use_pallas=self.use_pallas))
+            fns = self._two_phase_fns(res)   # auto-k1 aware (base class)
             step = None
         else:
             step = self.step_fn(res)
@@ -584,8 +578,19 @@ class ShardedSimulator(montecarlo.Simulator):
             keys = jax.vmap(jax.vmap(
                 lambda i: jax.random.fold_in(base, i)))(idx)
             if step is None:
-                sums = run_sharded_two_phase(self._tp_fns[1], keys, snr, res)
+                sums = run_sharded_two_phase(fns, keys, snr, res)
             else:
                 sums = step(keys, snr)
             total = metrics.accumulate(total, sums)
-        return metrics.finalize(total, cfg)
+        out = metrics.finalize(total, cfg)
+        self._last_meanT = out["T"]
+        return out
+
+    def _build_two_phase(self, res: int, k1: int):
+        return make_sharded_two_phase_fns(
+            self.cfg, self.algo, self.channel_kind, res, k1,
+            self.mesh, chans_per_device=self.chans_per_batch,
+            precision=self._effective_precision(),
+            operator_form=self.operator_form,
+            estimate_phi=self.estimate_phi,
+            use_pallas=self.use_pallas)

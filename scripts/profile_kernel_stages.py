@@ -39,11 +39,13 @@ def log(*a):
 
 
 def make_timer(fd, B, NIT, *, stage="full", fold_mode="roll",
-               segred="roll", x_precision=None, cmul="gauss"):
+               segred="roll", x_precision=None, cmul="gauss",
+               gains_folded=False, real_x=False):
     Lin, Lout, Lh, Nt, Nr, tile, trunc = fd.geom
     geom = dict(Lin=Lin, Lout=Lout, Lh=Lh, Nt=Nt, Nr=Nr, Bt=tile,
                 trunc=trunc, precision=fd.precision,
-                x_precision=x_precision, fold_mode=fold_mode, cmul=cmul)
+                x_precision=x_precision, fold_mode=fold_mode, cmul=cmul,
+                gains_folded=gains_folded)
     M = fd.M
     s0_re, s0_im = fd.sym_re[0], fd.sym_im[0]
 
@@ -70,14 +72,21 @@ def make_timer(fd, B, NIT, *, stage="full", fold_mode="roll",
                 return (0.5 * xm_re + dn_re, 0.5 * xm_im + dn_im,
                         0.5 * var + varn, z_re, z_im, u, nk)
             xr, xi, cov, zn_re, zn_im, un = fb._linear_iteration(
-                sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
-                *taps, **geom)
+                sigma2, xm_re, None if real_x else xm_im, var,
+                z_re, z_im, u, y_re, y_im, *taps, **geom)
             if stage == "linear":
                 return (0.1 * xr, 0.1 * xi, jnp.minimum(cov, 1.0),
                         0.5 * zn_re, 0.5 * zn_im, jnp.minimum(un, 4.0), nk)
-            dn_re, dn_im, varn = fb._k1_denoiser(
-                xr, xi, cov, Nt=Nt, M=M, s0_re=s0_re, s0_im=s0_im,
-                segred=segred)
+            if real_x:
+                dn_re, _, varn = fb._seg_denoiser(
+                    xr, None, cov, Nt=Nt, M=M, sym_re=fd.sym_re,
+                    sym_im=fd.sym_im, segred=segred)
+                dn_im = xm_im   # pass-through: loop-invariant, hoisted —
+                # emulates the production carry that drops xm_im entirely
+            else:
+                dn_re, dn_im, varn = fb._k1_denoiser(
+                    xr, xi, cov, Nt=Nt, M=M, s0_re=s0_re, s0_im=s0_im,
+                    segred=segred)
             if stage == "noconv":
                 return dn_re, dn_im, varn, zn_re, zn_im, un, nk
             # full: allclose bad-count + per-trial freeze selects with an
@@ -117,7 +126,8 @@ def make_timer(fd, B, NIT, *, stage="full", fold_mode="roll",
     x_shape = jax.ShapeDtypeStruct((Lin, B, Nt), jnp.float32)
     y_shape = jax.ShapeDtypeStruct((Lout, B, Nr), jnp.float32)
 
-    taps_args = fd.profiler_taps
+    taps_args = (fd.profiler_taps_folded if gains_folded
+                 else fd.profiler_taps)
 
     def run(sigma2, planes, taps):
         return pl.pallas_call(
@@ -156,12 +166,13 @@ def main():
         _, op2 = operators.banded_sparc(k, cfg)
         f2 = fb.FusedBandedDecode(op2, B, symbols=cfg.symbols, M=cfg.M)
         holder["fd"] = f2
-        return (f2.S_re, f2.S_im, f2.S_a2, f2.S_re.T, f2.S_im.T,
-                f2.S_a2.T, f2.Gf, f2.G2f)
+        return ((f2.S_re, f2.S_im, f2.S_a2, f2.S_re.T, f2.S_im.T,
+                 f2.S_a2.T, f2.Gf, f2.G2f), f2._fold_taps("gauss"))
 
-    taps = mk_taps(key)
+    taps, taps_folded = mk_taps(key)
     fd = holder["fd"]
     fd.profiler_taps = taps
+    fd.profiler_taps_folded = taps_folded
     Lin, Lout, Lh, Nt, Nr, tile, trunc = fd.geom
     log(f"platform={jax.default_backend()} B={B} NIT={NIT} tile={tile}")
 
@@ -183,19 +194,22 @@ def main():
 
     variants = [
         ("linear/roll", dict(stage="linear")),
-        ("linear/roll/cmul=std", dict(stage="linear", cmul="standard")),
-        ("full/roll+roll/cmul=std", dict(stage="full", cmul="standard")),
-        ("linear/matmulfold", dict(stage="linear", fold_mode="matmul")),
-        ("den/roll", dict(stage="den")),
-        ("den/matmul", dict(stage="den", segred="matmul")),
-        ("noconv/roll", dict(stage="noconv")),
         ("full/roll+roll", dict(stage="full")),
-        ("full/matmul+matmul", dict(stage="full", fold_mode="matmul",
-                                    segred="matmul")),
-        ("full/roll+roll/xmap=high", dict(stage="full",
-                                          x_precision="high")),
-        ("linear/roll/xmap=high", dict(stage="linear",
-                                       x_precision="high")),
+        # --- round-5 levers, isolated then stacked -------------------
+        ("linear/rollfirst", dict(stage="linear", fold_mode="rollfirst")),
+        ("linear/roll+folded", dict(stage="linear", gains_folded=True)),
+        ("linear/roll+realx", dict(stage="linear", real_x=True)),
+        ("linear/rf+folded+realx", dict(stage="linear",
+                                        fold_mode="rollfirst",
+                                        gains_folded=True, real_x=True)),
+        ("noconv/rf+folded+realx", dict(stage="noconv",
+                                        fold_mode="rollfirst",
+                                        gains_folded=True, real_x=True)),
+        ("full/rf+folded+realx", dict(stage="full",
+                                      fold_mode="rollfirst",
+                                      gains_folded=True, real_x=True)),
+        ("den/roll", dict(stage="den")),
+        ("noconv/roll", dict(stage="noconv")),
     ]
     useful_flop = 3.69e6  # per iter per trial (bench.py roofline)
     results = {}

@@ -119,3 +119,72 @@ def test_chans_per_batch_matches_single(tmp_path):
     a2 = s2.run_point(8.0, epochs=256, res=64)
     for k, v in a1.items():
         assert a2[k] == pytest.approx(v, rel=1e-5, abs=1e-9), k
+
+
+def test_auto_k1_grid_selection():
+    """auto_k1 picks the smallest grid value just above mean T + 1,
+    clamped to the iteration cap (k1 == cap degenerates to single-phase,
+    right for cap-running workloads)."""
+    from amp_sparc_spatialmodulation_tpu.models.montecarlo import auto_k1
+    assert auto_k1(10.92, 100) == 12       # the measured flagship optimum
+    assert auto_k1(56.6, 100) == 64
+    assert auto_k1(6.1, 100) == 8
+    assert auto_k1(None, 100) == 16        # no history -> legacy default
+    assert auto_k1(99.0, 100) == 100       # clamp: meanT at cap
+    assert auto_k1(3.0, 100) == 4
+
+
+def test_auto_k1_sweep_matches_static(tmp_path):
+    """two_phase='auto' is a pure scheduling choice: per-point metrics
+    must match the static-k1 sweep exactly, while the auto simulator
+    actually varies k1 with the measured mean T."""
+    cfg = Config(Nt=16, Na=4, Nr=10, Lin=6, Lh=3, mode="segmented",
+                 alphabet="OOK", profile="uniform", trunc="tail",
+                 iterations=40)
+    s_static = Simulator(cfg, algo="bamp", out_root=str(tmp_path / "a"),
+                         two_phase=12)
+    s_auto = Simulator(cfg, algo="bamp", out_root=str(tmp_path / "b"),
+                       two_phase="auto")
+    for i, ebn0 in enumerate([5.0, 7.0]):
+        a = s_static.run_point(ebn0, epochs=256, res=64, snr_idx=i)
+        b = s_auto.run_point(ebn0, epochs=256, res=64, snr_idx=i)
+        for k, v in a.items():
+            assert b[k] == pytest.approx(v, rel=1e-5, abs=1e-9), (ebn0, k)
+    # the auto simulator used the first point's mean T for the second
+    assert len(s_auto._tp_cache) == 2
+    assert s_auto._last_meanT is not None
+
+
+def test_precision_auto_policy(tmp_path):
+    """precision='auto' selects HIGH exactly when the previous point's
+    mean T pinned at the iteration cap, HIGHEST otherwise (see the
+    policy note in Simulator.__init__)."""
+    cfg = Config(Nt=16, Na=4, Nr=10, Lin=6, Lh=3, mode="segmented",
+                 alphabet="OOK", profile="uniform", trunc="tail",
+                 iterations=40)
+    s = Simulator(cfg, algo="bamp", out_root=str(tmp_path),
+                  precision="auto")
+    assert s._effective_precision() == jax.lax.Precision.HIGHEST
+    s._last_meanT = 11.2                       # converging regime
+    assert s._effective_precision() == jax.lax.Precision.HIGHEST
+    s._last_meanT = float(cfg.N_Layers)        # cap-running regime
+    assert s._effective_precision() == jax.lax.Precision.HIGH
+    s._last_meanT = cfg.N_Layers - 0.5         # leaves the regime
+    assert s._effective_precision() == jax.lax.Precision.HIGHEST
+    # fixed precision ignores history
+    s2 = Simulator(cfg, algo="bamp", out_root=str(tmp_path))
+    s2._last_meanT = float(cfg.N_Layers)
+    assert s2._effective_precision() == jax.lax.Precision.HIGHEST
+
+
+def test_precision_auto_runs_point(tmp_path):
+    """A cap-running auto simulator actually compiles and runs the HIGH
+    path (smoke: metrics finite, T bookkeeping intact)."""
+    cfg = Config(Nt=16, Na=4, Nr=10, Lin=6, Lh=3, mode="segmented",
+                 alphabet="OOK", profile="uniform", trunc="tail",
+                 iterations=8)
+    s = Simulator(cfg, algo="bamp", out_root=str(tmp_path),
+                  precision="auto")
+    s._last_meanT = float(cfg.N_Layers)        # force the HIGH branch
+    out = s.run_point(2.0, epochs=64, res=64)
+    assert np.isfinite(out["fer"]) and 0 < out["T"] <= cfg.N_Layers
