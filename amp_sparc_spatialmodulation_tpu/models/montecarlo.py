@@ -264,6 +264,8 @@ class TwoPhaseCore(NamedTuple):
     cap: Optional[int] = None    # total iteration budget (cfg.N_Layers)
     k1: Optional[int] = None     # phase-1 budget
     phase23: Optional[Callable] = None   # fused gather+decode+merge+eval
+    phase1e: Optional[Callable] = None   # phase1 + frozen-trial eval
+    phase23b: Optional[Callable] = None  # bucket-only continuation + eval
 
 
 def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
@@ -444,15 +446,54 @@ def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
         s2 = phase2(key, y[pad_idx], sub, snr)
         return scatter_eval(key, state, s2, pad_idx)
 
+    def phase1e(key, snr):
+        """Phase 1 with the FROZEN trials' metric pass folded in
+        (round-5): evaluates the converged rows (weight = 1 - active)
+        right inside the phase-1 program, so the continuation step only
+        ever evaluates the BUCKET — the full-batch evaluation pass
+        (res-sized decisions + scatter merge) leaves the critical path
+        entirely.  No trial is counted twice: active trials carry weight
+        0 here and weight 1 (first occurrence) in phase23b."""
+        y, state = phase1(key, snr)
+        stat, xmmse = views(state)
+        frozen = metrics.evaluate_sums(
+            stat, xmmse, regen_msg(key), state.T, cfg,
+            weight=1.0 - state.active.astype(jnp.float32))
+        return y, state, frozen
+
+    def phase23b(key, y, state, pad_idx, valid, snr, frozen):
+        """Bucket-only continuation + evaluation: gather the active
+        trials, finish them, evaluate JUST the bucket rows (``valid``
+        masks the padding duplicates) and add the phase-1 frozen sums —
+        one device program, no res-sized merge or evaluation.  Sums
+        differ from the full-batch path only by f32 re-association."""
+        sub = state_take_trials(state, pad_idx)
+        s2 = phase2(key, y[pad_idx], sub, snr)
+        stat, xmmse = views(s2)
+        msg = regen_msg(key)
+        msg_sub = jax.tree.map(lambda a: a[pad_idx], msg)
+        sums = metrics.evaluate_sums(stat, xmmse, msg_sub, s2.T, cfg,
+                                     weight=valid)
+        return {k: sums[k] + frozen[k] for k in sums}
+
     def evaluate(key, state):
         stat, xmmse = views(state)
         return metrics.evaluate_sums(stat, xmmse, regen_msg(key), state.T,
                                      cfg)
 
+    # The bucket-evaluation pair is withheld for the random generator
+    # mode: its decision layer is a GLOBAL top-k over the whole batch
+    # (`loss.py:198-221`, metrics.random_decision), so evaluating a
+    # gathered bucket would change the decisions themselves — only
+    # per-trial decision rules (segmented/sparc) are batch-shape
+    # invariant.
+    batch_invariant = cfg.mode != "random"
     return TwoPhaseCore(phase1=phase1, phase2=phase2,
                         scatter_eval=scatter_eval, evaluate=evaluate,
                         use_pallas=use_pallas, res=res,
-                        cap=cfg.N_Layers, k1=k1, phase23=phase23)
+                        cap=cfg.N_Layers, k1=k1, phase23=phase23,
+                        phase1e=phase1e if batch_invariant else None,
+                        phase23b=phase23b if batch_invariant else None)
 
 
 def make_two_phase_fns(cfg: Config, algo: str, channel_kind: str, res: int,
@@ -485,7 +526,11 @@ def make_two_phase_fns(cfg: Config, algo: str, channel_kind: str, res: int,
         jax.jit(core.scatter_eval, donate_argnums=(1, 2)),
         jax.jit(core.evaluate, donate_argnums=(1,)),
         cap=core.cap, k1=core.k1,
-        phase23=jax.jit(core.phase23, donate_argnums=(1, 2)))
+        phase23=jax.jit(core.phase23, donate_argnums=(1, 2)),
+        phase1e=(jax.jit(core.phase1e)
+                 if core.phase1e is not None else None),
+        phase23b=(jax.jit(core.phase23b, donate_argnums=(1, 2))
+                  if core.phase23b is not None else None))
 
 
 class TwoPhaseFns(NamedTuple):
@@ -498,6 +543,8 @@ class TwoPhaseFns(NamedTuple):
     cap: Optional[int] = None
     k1: Optional[int] = None
     phase23: Optional[Callable] = None
+    phase1e: Optional[Callable] = None
+    phase23b: Optional[Callable] = None
 
 
 def _pad_bucket(active: np.ndarray, min_bucket: int):
@@ -557,6 +604,30 @@ def run_two_phase_realization(fns, key, snr, min_bucket: int = 64,
         # (phase2(key, y, state, snr, t)); pre-``t`` 4-arg callables are
         # not supported through this shim.
         fns = TwoPhaseFns(*fns)
+    if (not ladder and fns.phase1e is not None
+            and fns.phase23b is not None
+            and os.environ.get("AMP_BUCKET_EVAL", "0") not in ("0",
+                                                               "false")):
+        # Opt-in (measured round 5: 111.0k vs 116.3k trials/s at the
+        # flagship point — a 5% LOSS): phase 1 evaluates its own frozen
+        # trials (weight = 1 - active) and the continuation evaluates
+        # ONLY the bucket (padding duplicates masked).  The hoped-for
+        # win was dropping the res-sized scatter merge + evaluation
+        # from phase23 — but the frozen-weighted evaluation is still
+        # res-sized (decisions run over every trial), so the merge was
+        # the only true saving and the extra bucket-sized eval +
+        # weight multiplies cost more.  Kept for workloads where the
+        # merge dominates (very large states / small buckets).
+        y, state, frozen = fns.phase1e(key, snr)
+        active = np.asarray(state.active)
+        if int(active.sum()) == 0:
+            return frozen
+        pad_idx, bucket = _pad_bucket(active, min_bucket)
+        pad_np = np.asarray(pad_idx)
+        first = np.zeros(pad_np.size, bool)
+        first[np.unique(pad_np, return_index=True)[1]] = True
+        valid = jnp.asarray((first & active[pad_np]).astype(np.float32))
+        return fns.phase23b(key, y, state, pad_idx, valid, snr, frozen)
     y, state = fns.phase1(key, snr)
     active = np.asarray(state.active)
     if int(active.sum()) == 0:

@@ -127,47 +127,79 @@ def decide(xamp: jnp.ndarray, cfg: Config) -> Decision:
     return map_decision(xamp, cfg)          # sparc (`loss.py:40-41`)
 
 
-def _popcount_masked(a: jnp.ndarray, b: jnp.ndarray, bits: int) -> jnp.ndarray:
+def _popcount_masked(a: jnp.ndarray, b: jnp.ndarray, bits: int,
+                     rsum=None) -> jnp.ndarray:
     """Sum of set bits in ``(a ^ b)`` truncated to the low ``bits`` bits —
-    the reference's ``de2bi(bitwise_xor(...), bits)`` count (`loss.py:181-196`)."""
+    the reference's ``de2bi(bitwise_xor(...), bits)`` count (`loss.py:181-196`).
+    ``rsum`` optionally replaces the plain ``.sum()`` (per-trial weighted
+    reduction, see :func:`evaluate_sums`)."""
     if bits <= 0:
         return jnp.zeros((), jnp.float32)
     mask = np.int32((1 << min(bits, 31)) - 1)
     x = jnp.bitwise_and(jnp.bitwise_xor(a, b), mask)
-    return jax.lax.population_count(x).sum().astype(jnp.float32)
+    pc = jax.lax.population_count(x)
+    s = pc.sum() if rsum is None else rsum(pc)
+    return s.astype(jnp.float32)
 
 
 def evaluate_sums(xmap: jnp.ndarray, xmmse: jnp.ndarray, msg: Message,
-                  T: jnp.ndarray, cfg: Config) -> Dict[str, jnp.ndarray]:
+                  T: jnp.ndarray, cfg: Config,
+                  weight: jnp.ndarray | None = None
+                  ) -> Dict[str, jnp.ndarray]:
     """Per-batch raw metric sums (additive across batches/devices).
 
     Mirrors ``Loss.__call__``/``error_rate`` (`loss.py:43-103`) with hard
     decisions on ``xmap`` and NMSE on ``xmmse``.
+
+    ``weight`` (optional, (B,) float32) weights each TRIAL's contribution
+    to every sum — continuation batching uses it to evaluate the frozen
+    trials inside phase 1 (weight = 1 - active) and the continuation
+    bucket with its padding duplicates masked out, so no trial is counted
+    twice.  ``weight=None`` is the unweighted fast path (bit-identical to
+    the pre-weight behavior).
     """
     B = xmap.shape[0]
     dec = decide(xmap, cfg)
     x = msg.x
+    if weight is None:
+        rsum = lambda v: v.sum()
+        n_trials = jnp.asarray(float(B), jnp.float32)
+    else:
+        w = weight.reshape(B).astype(jnp.float32)
+
+        def rsum(v):
+            per = v.reshape(B, -1).sum(axis=1) if v.ndim > 1 else v
+            return (per.astype(jnp.float32) * w).sum()
+
+        n_trials = w.sum()
 
     # --- NMSE sums (`loss.py:105-120`)
     d2 = jnp.abs(xmmse - x) ** 2
     d2_use = d2.reshape(B, cfg.Lin, cfg.Nt)
-    nmse = d2.sum()
-    nmse_f = d2_use[:, 0].sum()
-    nmse_m = d2_use[:, cfg.Lin // 2].sum()
-    nmse_l = d2_use[:, -1].sum()
+    nmse = rsum(d2)
+    nmse_f = rsum(d2_use[:, 0])
+    nmse_m = rsum(d2_use[:, cfg.Lin // 2])
+    nmse_l = rsum(d2_use[:, -1])
 
     # --- vector / frame errors (`loss.py:122-151`): exact value mismatch
     neq = (dec.xhat != x).reshape(B, cfg.Lin, cfg.Nt)
     err_use = jnp.any(neq, axis=-1)                       # (B, Lin)
-    ver = err_use.sum()
-    verf = err_use[:, 0].sum()
-    verm = err_use[:, cfg.Lin // 2].sum()
-    verl = err_use[:, -1].sum()
-    fer = jnp.any(err_use, axis=-1).sum()
+    ver = rsum(err_use)
+    verf = rsum(err_use[:, 0])
+    verm = rsum(err_use[:, cfg.Lin // 2])
+    verl = rsum(err_use[:, -1])
+    fer = rsum(jnp.any(err_use, axis=-1))
 
     # --- index / symbol / bit errors (`loss.py:153-179`)
-    ier = (dec.flat != msg.flat).sum()
-    ser = (dec.gray != msg.gray).sum()
+    # Flat indices are global over the batch rows (`loss.py:198-221`);
+    # compare within-frame (mod Lin*Nt) so the count is invariant to the
+    # trial's row position — identical to the direct comparison when
+    # decisions and truth share a layout (the offsets cancel), and
+    # required when continuation batching evaluates a gathered bucket
+    # whose rows moved.
+    n_frame_ = np.int32(cfg.Lin * cfg.Nt)
+    ier = rsum((dec.flat % n_frame_) != (msg.flat % n_frame_))
+    ser = rsum(dec.gray != msg.gray)
     # The reference XORs *global* flat indices truncated to
     # ceil(log2(Lin*B*Na)) bits with ITS batch size B (`loss.py:20,169` —
     # B=1 on every published final sweep).  We reduce both sides to
@@ -178,12 +210,13 @@ def evaluate_sums(xmap: jnp.ndarray, xmmse: jnp.ndarray, msg: Message,
     ibits_trunc = int(np.ceil(np.log2(max(cfg.Lin * cfg.Na, 2))))
     n_frame = np.int32(cfg.Lin * cfg.Nt)
     iber_ = _popcount_masked(dec.flat % n_frame, msg.flat % n_frame,
-                             ibits_trunc)
-    sber_ = _popcount_masked(dec.gray, msg.gray, cfg.symbol_bits)
+                             ibits_trunc, rsum=rsum)
+    sber_ = _popcount_masked(dec.gray, msg.gray, cfg.symbol_bits,
+                             rsum=rsum)
 
     f32 = lambda v: jnp.asarray(v, jnp.float32)
     return {
-        "trials": f32(B), "T": f32(T.sum()),
+        "trials": f32(n_trials), "T": f32(rsum(T.reshape(B))),
         "fer": f32(fer), "ver": f32(ver), "verf": f32(verf),
         "verm": f32(verm), "verL": f32(verl),
         "nMSE": nmse, "nMSEf": nmse_f, "nMSEm": nmse_m, "nMSEL": nmse_l,

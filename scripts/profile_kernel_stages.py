@@ -64,6 +64,22 @@ def make_timer(fd, B, NIT, *, stage="full", fold_mode="roll",
 
         def body(_, c):
             xm_re, xm_im, var, z_re, z_im, u, nk = c
+            if stage == "mm":
+                # MXU floor: the realx+gauss iteration's 7 matmuls at
+                # production shapes/precision, minimal glue — how much
+                # of 'linear' is matmul time vs exposed VPU work.
+                dot = fb.make_dot(fd.precision)
+                S_re, S_im, S_a2, St_re, St_im, St_a2 = taps[:6]
+                f1 = dot(xm_re, S_re)           # (320, 72)
+                f2 = dot(xm_re, S_im)
+                f3 = dot(var, S_a2)
+                b0 = dot(f3, St_a2)             # (320, 128)
+                b1 = dot(f1, St_re)
+                b2 = dot(f2, St_im)
+                b3 = dot(f1 + f2, St_re)
+                return (0.1 * b1 + 0.01 * b3, xm_im,
+                        jnp.minimum(jnp.abs(b0) + 0.1 * jnp.abs(b2), 2.0),
+                        z_re, z_im, u, nk)
             if stage == "den":
                 dn_re, dn_im, varn = fb._k1_denoiser(
                     xm_re, xm_im, var + 1.0, Nt=Nt, M=M, s0_re=s0_re,
@@ -210,6 +226,7 @@ def main():
                                       gains_folded=True, real_x=True)),
         ("den/roll", dict(stage="den")),
         ("noconv/roll", dict(stage="noconv")),
+        ("mm/7matmuls", dict(stage="mm", gains_folded=True)),
     ]
     useful_flop = 3.69e6  # per iter per trial (bench.py roofline)
     results = {}

@@ -188,3 +188,20 @@ def test_precision_auto_runs_point(tmp_path):
     s._last_meanT = float(cfg.N_Layers)        # force the HIGH branch
     out = s.run_point(2.0, epochs=64, res=64)
     assert np.isfinite(out["fer"]) and 0 < out["T"] <= cfg.N_Layers
+
+
+def test_bucket_eval_matches_full_eval(monkeypatch, tmp_path):
+    """The opt-in bucket-only evaluation (AMP_BUCKET_EVAL=1: frozen
+    trials evaluated inside phase 1, continuation evaluates just the
+    bucket with padding masked) must reproduce the default full-batch
+    evaluation up to f32 re-association."""
+    cfg = Config(Nt=16, Na=4, Nr=10, Lin=6, Lh=3, mode="segmented",
+                 alphabet="OOK", profile="uniform", trunc="tail",
+                 iterations=40)
+    ref = Simulator(cfg, algo="bamp", out_root=str(tmp_path / "a"),
+                    two_phase=6).run_point(6.0, epochs=256, res=64)
+    monkeypatch.setenv("AMP_BUCKET_EVAL", "1")
+    out = Simulator(cfg, algo="bamp", out_root=str(tmp_path / "b"),
+                    two_phase=6).run_point(6.0, epochs=256, res=64)
+    for k, v in ref.items():
+        assert out[k] == pytest.approx(v, rel=1e-5, abs=1e-9), k
