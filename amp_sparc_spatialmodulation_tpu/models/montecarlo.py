@@ -158,6 +158,55 @@ def make_realization_fn(cfg: Config, algo: str, channel_kind: str, res: int,
     return one_realization
 
 
+def make_batched_vamp_fn(cfg: Config, channel_kind: str, res: int, C: int,
+                         precision=jax.lax.Precision.HIGHEST):
+    """``fn(keys (C, 2), snr) -> metric sums`` decoding C VAMP channel
+    realizations in ONE realization-batched kernel call.
+
+    The vmap-of-kernel wedge (see :func:`sum_realizations`) forces the
+    unrolled per-realization loop when the fused kernel is on — C kernel
+    dispatches plus C SVDs serialized.  This path instead stacks the C
+    realizations into one grid (``vamp.decode_batched``): the SVDs vmap
+    (plain XLA), the decode is one ``pallas_call`` whose grid programs
+    read their own realization's tap blocks, and the evaluation runs
+    once on the flat (C*res) batch (valid because segmented/sparc
+    decisions are per-trial; the random mode's global top-k is not
+    batch-invariant and keeps the unrolled path).
+    """
+    if cfg.mode == "random":
+        raise ValueError("batched VAMP needs batch-invariant decisions "
+                         "(segmented/sparc modes)")
+
+    def batched_realizations(keys, snr):
+        sigma2 = cfg.E / snr
+
+        def gen(key):
+            k_chan, k_msg, k_noise = jax.random.split(key, 3)
+            msg = message_ops.generate_message(k_msg, cfg, res)
+            if channel_kind == "sparc":
+                _, A = channel_ops.generate_as_sparc(k_chan, cfg)
+            elif channel_kind == "toeplitz":
+                A = channel_ops.generate_channel(k_chan, cfg)
+            else:
+                A = channel_ops.generate_as_random(k_chan, cfg)
+            y = (jnp.matmul(msg.x, A.T, precision=precision)
+                 + channel_ops.awgn(k_noise, cfg, snr, res))
+            return A, y, msg
+
+        A_b, y_b, msg_b = jax.vmap(gen)(keys)          # (C, ...) stacks
+        out = vamp.decode_batched(A_b, y_b, sigma2, cfg,
+                                  precision=precision)
+        CB = C * res
+        flat = lambda a: a.reshape((CB,) + a.shape[2:])
+        msg_flat = jax.tree.map(flat, msg_b)
+        return metrics.evaluate_sums(flat(out.xmap), flat(out.xmmse),
+                                     msg_flat, flat(out.T), cfg)
+
+    batched_realizations.use_pallas = True
+    batched_realizations.operator_form = "dense"
+    return batched_realizations
+
+
 def resolve_use_pallas(use_pallas, cfg: Config, algo: str,
                        operator_form: str, batch: int | None = None) -> bool:
     """'auto' enables the fused Pallas decode exactly where it is the
@@ -779,6 +828,16 @@ class Simulator:
             precision=self._effective_precision(),
             estimate_phi=self.estimate_phi,
             operator_form=self.operator_form, use_pallas=self.use_pallas)
+        from ..ops.pallas.fused_vamp import FusedVampDecode
+        if (self.algo == "vamp" and self.chans_per_batch > 1
+                and one_realization.use_pallas
+                and self.cfg.mode != "random"
+                and FusedVampDecode.fits(self.cfg, res, batched=True)):
+            # Realization-batched kernel: one grid decodes all C
+            # realizations (the vmap-of-kernel wedge workaround).
+            return jax.jit(make_batched_vamp_fn(
+                self.cfg, self.channel_kind, res, self.chans_per_batch,
+                precision=self._effective_precision()))
 
         @partial(jax.jit, static_argnames=())
         def step(keys, snr):

@@ -264,3 +264,62 @@ def decode(dec: SVD, y: jnp.ndarray, sigma2, cfg: Config,
     if return_state:
         return result, st
     return result
+
+
+def decode_batched(A_batch: jnp.ndarray, y_batch: jnp.ndarray, sigma2,
+                   cfg: Config, *, precision=lax.Precision.HIGHEST,
+                   svd_method: str = "auto"):
+    """Decode ``C`` channel realizations' trial batches in ONE fused
+    kernel call (realization-batched :class:`..ops.pallas.fused_vamp.
+    FusedVampDecode`).
+
+    ``A_batch`` is the (C, n, N) stack of measurement matrices,
+    ``y_batch`` the (C, B, n) received trials.  The SVDs are vmapped XLA
+    (fine under vmap — only ``pallas_call`` wedges the batcher, see
+    ``montecarlo.sum_realizations``); the decode itself runs one grid of
+    ``C * B/tile`` programs, each reading its own realization's
+    VMEM-resident Vh tap blocks.  This is the measured lever for
+    small-res VAMP workloads where per-realization kernel dispatches
+    (the unrolled fallback) dominate.  Returns a per-realization
+    :class:`DecodeResult` with leading axis ``C``.
+
+    Trajectories are bit-identical to ``C`` separate ``use_pallas``
+    decodes: the kernel body is unchanged — only which tap block a grid
+    program reads differs.
+    """
+    from ..ops.pallas.fused_vamp import FusedVampDecode
+
+    C, B, n = y_batch.shape
+    N = A_batch.shape[2]
+    dec = jax.vmap(lambda A: svd(A, method=svd_method))(A_batch)
+    U, s, Vh = dec                                     # (C,n,p) (C,p) (C,p,N)
+    p = Vh.shape[1]
+    fused = FusedVampDecode(Vh, B, interpret=jax.default_backend() != "tpu",
+                            symbols=cfg.symbols, M=cfg.M,
+                            precision=precision)
+    mm = partial(jnp.matmul, precision=precision)
+    y_tilde = s[:, None, :] * mm(y_batch, jnp.conj(U))  # (C, B, p)
+    s2 = (s ** 2)                                       # (C, p)
+    eta = p / N
+    noise_var = jnp.asarray(sigma2, jnp.float32)
+    sparsity = cfg.sparsity
+    s2t0 = sparsity ** 2 * (1 - sparsity) + (1 - sparsity) ** 2 * sparsity
+    CB = C * B
+    flat = lambda a: a.reshape((CB,) + a.shape[2:])
+    dt = y_batch.dtype
+    out = fused.decode_call(
+        noise_var, jnp.asarray(cfg.N_Layers, jnp.int32),
+        jnp.ones((CB, 1), jnp.float32), jnp.zeros((CB, 1), jnp.float32),
+        jnp.full((CB, N), sparsity, jnp.float32), jnp.zeros((CB, N),
+                                                            jnp.float32),
+        jnp.full((CB, 1), s2t0, jnp.float32),
+        jnp.zeros((CB, N), jnp.float32), jnp.zeros((CB, N), jnp.float32),
+        jnp.ones((CB, N), jnp.float32),
+        jnp.zeros((CB, N), jnp.float32), jnp.zeros((CB, N), jnp.float32),
+        flat(jnp.real(y_tilde)), flat(jnp.imag(y_tilde)), s2, eta)
+    rt_re, rt_im, s2t, r_re, r_im, var, xm_re, xm_im, act_o, T_o = out
+    unflat = lambda a: a.reshape((C, B) + a.shape[1:])
+    r = unflat(lax.complex(r_re, r_im)).astype(dt)
+    xmmse = unflat(lax.complex(xm_re, xm_im)).astype(dt)
+    return DecodeResult(xmap=r, xmmse=xmmse, var=unflat(var),
+                        T=unflat(T_o[:, 0].astype(jnp.int32)))

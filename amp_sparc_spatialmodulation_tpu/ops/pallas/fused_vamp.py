@@ -77,7 +77,7 @@ def _vamp_decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
                         yt_re_ref, yt_im_ref, s2_ref,
                         *tap_and_out_refs,
                         N, p, M, chunk, sym_re, sym_im, eta,
-                        precision, cmul="gauss"):
+                        precision, cmul="gauss", batched=False):
     """Whole VAMP decode for one trial tile (`vamp.py:56-94` semantics,
     per-trial allclose early stop on the posterior variance
     `vamp.py:181-186`).
@@ -95,9 +95,24 @@ def _vamp_decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
     as six resident refs — forward (c, d-c, c+d) of ``Vh^T`` and
     backward (c, -d-c, c-d) of ``Vh`` — instead of the standard four."""
     ntaps = 6 if cmul == "gauss" else 4
-    taps = tap_and_out_refs[:ntaps]
+    raw_taps = tap_and_out_refs[:ntaps]
     (rt_re_o, rt_im_o, s2t_o, r_re_o, r_im_o, var_o,
      xm_re_o, xm_im_o, act_o, T_o) = tap_and_out_refs[ntaps:]
+    # Realization-batched mode: tap refs are (1, ·, ·) grid blocks of a
+    # (C, ·, ·) stack — one channel SVD per realization — and the grid
+    # runs C * tiles_per_realization programs.  A small shim class keeps
+    # the loop body identical either way.
+    if batched:
+        class _T:       # noqa: N801 — ref-like view dropping the C axis
+            def __init__(self, ref):
+                self.ref = ref
+
+            def __getitem__(self, _):
+                return self.ref[0]
+
+        taps = tuple(_T(r) for r in raw_taps)
+    else:
+        taps = raw_taps
     dot = make_dot(precision)
     noise_var = sigma2_ref[0]
     cap = cap_ref[0]
@@ -234,16 +249,19 @@ class FusedVampDecode:
                 and cfg.M > 0)
 
     @classmethod
-    def fits(cls, cfg, batch: int) -> bool:
+    def fits(cls, cfg, batch: int, batched: bool = False) -> bool:
         """VMEM trial-tile fit from config geometry — the constructor's
-        own ``_pick_tile_vamp``/``_pick_chunk`` math."""
+        own ``_pick_tile_vamp``/``_pick_chunk`` math.  ``batched=True``
+        budgets the realization-batched mode (grid-blocked tap planes
+        are double-buffered)."""
         import os
         N = cfg.Lin * cfg.Nt
         p = min(cfg.Lout * cfg.Nr, N)
         n_vh = 6 if os.environ.get("AMP_KERNEL_CMUL", "gauss") == "gauss" \
             else 4
         return _pick_tile_vamp(batch, N, p, cfg.K, cfg.M,
-                               _pick_chunk(N, cfg.M), n_vh) > 0
+                               _pick_chunk(N, cfg.M),
+                               n_vh * (2 if batched else 1)) > 0
 
     def __init__(self, Vh, batch: int, interpret: bool = False,
                  symbols=None, M: int = 0, chunk: int | None = None,
@@ -260,27 +278,48 @@ class FusedVampDecode:
         self.interpret = interpret
         self.precision = precision
         self.cmul = os.environ.get("AMP_KERNEL_CMUL", "gauss")
-        p, N = Vh.shape
+        # Realization-batched mode (Vh stacked (C, p, N)): one kernel
+        # call decodes C realizations' trial batches; the grid walks
+        # C * tiles_per_realization programs and each program's tap
+        # blocks come from its realization's SVD.  This is the measured
+        # workaround for the vmap-of-kernel compiler wedge
+        # (models/montecarlo.py::sum_realizations) — realization
+        # batching is "the better lever" for small-res VAMP workloads
+        # (vamp.py svd docstring), and vmap cannot provide it.
+        if Vh.ndim == 3:
+            self.C = int(Vh.shape[0])
+            p, N = Vh.shape[1], Vh.shape[2]
+        else:
+            self.C = 0              # 0 = unbatched call signature
+            p, N = Vh.shape
         self.p, self.N = int(p), int(N)
         self.chunk = _pick_chunk(self.N, M) if chunk is None else chunk
         if self.N % self.chunk or self.chunk % M:
             raise ValueError("chunk must divide N and be a multiple of M")
+        # Grid-blocked tap planes are double-buffered by the pipeline,
+        # so the batched mode budgets two resident copies.
         tile = _pick_tile_vamp(batch, self.N, self.p, len(syms), M,
                                self.chunk,
-                               6 if self.cmul == "gauss" else 4)
+                               (6 if self.cmul == "gauss" else 4)
+                               * (2 if self.C else 1))
         if tile == 0:
             raise NoVmemTileError(
                 "no trial tile fits VMEM for this geometry")
         self.tile = tile
         Vh_re = jnp.real(Vh).astype(jnp.float32)
         Vh_im = jnp.imag(Vh).astype(jnp.float32)
+        if self.C:
+            tr = lambda a: jnp.swapaxes(a, -1, -2)
+        else:
+            tr = lambda a: a.T
         if self.cmul == "gauss":
             # forward taps on Vh^T: (c, d-c, c+d); backward on Vh with
             # d -> -d: (c, -d-c, c-d) — see _vamp_decode_kernel.
-            self.taps = (Vh_re.T, Vh_im.T - Vh_re.T, Vh_re.T + Vh_im.T,
+            self.taps = (tr(Vh_re), tr(Vh_im) - tr(Vh_re),
+                         tr(Vh_re) + tr(Vh_im),
                          Vh_re, -Vh_im - Vh_re, Vh_re - Vh_im)
         else:
-            self.taps = (Vh_re.T, Vh_im.T, Vh_re, Vh_im)
+            self.taps = (tr(Vh_re), tr(Vh_im), Vh_re, Vh_im)
 
     def decode_call(self, sigma2, cap, act, T, rt_re, rt_im, s2t,
                     r_re, r_im, var, xm_re, xm_im, yt_re, yt_im, s2,
@@ -289,6 +328,11 @@ class FusedVampDecode:
 
         Returns ``(r_tilde_re, r_tilde_im, sigma2_tilde, r_re, r_im, var,
         xmmse_re, xmmse_im, act, T)``; all ten alias their inputs.
+
+        Realization-batched mode (constructed with a (C, p, N) Vh
+        stack): the state planes carry ``C * B_per`` realization-major
+        rows, ``s2`` is the (C, p) squared-singular-value stack, and
+        each grid program reads its own realization's tap blocks.
         """
         N, p, tile = self.N, self.p, self.tile
         B = act.shape[0]
@@ -301,12 +345,24 @@ class FusedVampDecode:
                                      memory_space=pltpu.VMEM)
         full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+        if self.C:
+            tpr = (B // self.C) // tile      # tiles per realization
+            real = lambda i: (i // tpr, 0, 0)
+            tapspec = [pl.BlockSpec((1,) + t.shape[1:], real,
+                                    memory_space=pltpu.VMEM)
+                       for t in self.taps]
+            s2spec = pl.BlockSpec((1, p), lambda i: (i // tpr, 0),
+                                  memory_space=pltpu.VMEM)
+        else:
+            tapspec = [full() for _ in self.taps]
+            s2spec = full()
         n_shape = jax.ShapeDtypeStruct((B, N), jnp.float32)
         a_shape = jax.ShapeDtypeStruct((B, 1), jnp.float32)
         kern = functools.partial(_vamp_decode_kernel, N=N, p=p, M=self.M,
                                  chunk=self.chunk, sym_re=self.sym_re,
                                  sym_im=self.sym_im, eta=float(eta),
-                                 precision=self.precision, cmul=self.cmul)
+                                 precision=self.precision, cmul=self.cmul,
+                                 batched=bool(self.C))
         # inputs: 0 sigma2, 1 cap, 2 act, 3 T, 4 rt_re, 5 rt_im, 6 s2t,
         # 7 r_re, 8 r_im, 9 var, 10 xm_re, 11 xm_im, 12-13 y_tilde,
         # 14 s2, 15-18 Vh planes; outputs: 0-7 state, 8 act, 9 T
@@ -318,7 +374,7 @@ class FusedVampDecode:
             in_specs=[smem(), smem(), aspec(), aspec()]
             + [nspec(), nspec(), aspec(), nspec(), nspec(), nspec(),
                nspec(), nspec()]
-            + [pspec(), pspec()] + [full()] * (1 + len(self.taps)),
+            + [pspec(), pspec(), s2spec] + tapspec,
             out_specs=[nspec(), nspec(), aspec(), nspec(), nspec(),
                        nspec(), nspec(), nspec(), aspec(), aspec()],
             out_shape=[n_shape, n_shape, a_shape, n_shape, n_shape,

@@ -91,3 +91,51 @@ def test_vamp_simulator_with_pallas(tmp_path):
     a2 = s2.run_point(9.0, epochs=64, res=32)
     for k, v in a1.items():
         assert a2[k] == pytest.approx(v, rel=1e-4, abs=1e-6), k
+
+
+def test_vamp_decode_batched_matches_unrolled():
+    """The realization-batched kernel (one grid over C realizations'
+    trial tiles, per-realization tap blocks) must reproduce C separate
+    use_pallas decodes exactly — the kernel body is unchanged, only
+    which tap block each program reads differs."""
+    cfg = Config(Nt=16, Na=4, Nr=10, Lin=8, Lh=3, mode="segmented",
+                 alphabet="OOK", profile="uniform", trunc="tail",
+                 iterations=10)
+    B, C = 8, 3
+    key = jax.random.PRNGKey(7)
+    snr = 10 ** 1.5
+    s2 = cfg.sigma2(snr)
+    As, ys = [], []
+    for c in range(C):
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(key, c), 3)
+        _, A = channel.generate_as_sparc(k1, cfg)
+        msg = message.generate_message(k2, cfg, B)
+        ys.append(msg.x @ A.T + channel.awgn(k3, cfg, snr, B))
+        As.append(A)
+    A_b = jnp.stack(As)
+    y_b = jnp.stack(ys)
+    out = vamp.decode_batched(A_b, y_b, s2, cfg, svd_method="direct")
+    for c in range(C):
+        ref = vamp.decode(vamp.svd(As[c], method="direct"), ys[c], s2,
+                          cfg, use_pallas=True)
+        np.testing.assert_array_equal(np.asarray(out.T[c]),
+                                      np.asarray(ref.T))
+        assert float(jnp.max(jnp.abs(out.xmmse[c] - ref.xmmse))) < 1e-5
+        assert float(jnp.max(jnp.abs(out.var[c] - ref.var))) < 1e-5
+
+
+def test_vamp_simulator_batched_matches_single(tmp_path):
+    """chans_per_batch>1 with use_pallas now composes for VAMP: the
+    batched-step simulator must reproduce the unrolled one's metrics
+    up to f32 re-association."""
+    from amp_sparc_spatialmodulation_tpu.models.montecarlo import Simulator
+    cfg = Config(Nt=16, Na=4, Nr=10, Lin=8, Lh=3, mode="segmented",
+                 alphabet="OOK", profile="uniform", trunc="tail",
+                 iterations=10)
+    a = Simulator(cfg, algo="vamp", out_root=str(tmp_path / "a"),
+                  use_pallas=True).run_point(6.0, epochs=96, res=32)
+    b = Simulator(cfg, algo="vamp", out_root=str(tmp_path / "b"),
+                  use_pallas=True, chans_per_batch=3
+                  ).run_point(6.0, epochs=96, res=32)
+    for k, v in a.items():
+        assert b[k] == pytest.approx(v, rel=1e-5, abs=1e-9), k
