@@ -315,6 +315,7 @@ class TwoPhaseCore(NamedTuple):
     phase23: Optional[Callable] = None   # fused gather+decode+merge+eval
     phase1e: Optional[Callable] = None   # phase1 + frozen-trial eval
     phase23b: Optional[Callable] = None  # bucket-only continuation + eval
+    phase123: Optional[Callable] = None  # whole realization, static bucket
 
 
 def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
@@ -530,6 +531,32 @@ def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
         return metrics.evaluate_sums(stat, xmmse, regen_msg(key), state.T,
                                      cfg)
 
+    def phase123(key, snr, *, bucket):
+        """The WHOLE realization as ONE device program: phase 1, the
+        bucket gather built IN-GRAPH (stable argsort, actives first —
+        so no active-mask round-trip), continuation decode, scatter
+        merge and evaluation.  ``bucket`` is static (the host supplies
+        a hint from the previous realization's survivor count); the
+        returned sums carry ``_n_active`` (next hint) and ``_overflow``
+        (survivors exceeded the bucket → the caller discards these sums
+        and redoes the realization on the host-orchestrated path).
+
+        Metric sums are identical to the host path: the gather keeps
+        active trials in original order (argsort is stable, matching
+        ``_pad_bucket``); the pad rows are DISTINCT frozen trials
+        instead of duplicates of one, but frozen rows pass through
+        phase 2 untouched and scatter back their own unchanged state,
+        so no row of the merged batch differs."""
+        y, state = phase1(key, snr)
+        n_act = jnp.sum(state.active.astype(jnp.int32))
+        idx = jnp.argsort(jnp.logical_not(state.active))[:bucket]
+        sub = state_take_trials(state, idx)
+        s2 = phase2(key, y[idx], sub, snr)
+        sums = dict(scatter_eval(key, state, s2, idx))
+        sums["_n_active"] = n_act.astype(jnp.float32)
+        sums["_overflow"] = (n_act > bucket).astype(jnp.float32)
+        return sums
+
     # The bucket-evaluation pair is withheld for the random generator
     # mode: its decision layer is a GLOBAL top-k over the whole batch
     # (`loss.py:198-221`, metrics.random_decision), so evaluating a
@@ -542,7 +569,8 @@ def make_two_phase_core(cfg: Config, algo: str, channel_kind: str, res: int,
                         use_pallas=use_pallas, res=res,
                         cap=cfg.N_Layers, k1=k1, phase23=phase23,
                         phase1e=phase1e if batch_invariant else None,
-                        phase23b=phase23b if batch_invariant else None)
+                        phase23b=phase23b if batch_invariant else None,
+                        phase123=phase123)
 
 
 def make_two_phase_fns(cfg: Config, algo: str, channel_kind: str, res: int,
@@ -570,6 +598,14 @@ def make_two_phase_fns(cfg: Config, algo: str, channel_kind: str, res: int,
                                use_pallas=use_pallas)
     phase2 = jax.jit(core.phase2, donate_argnums=(2,),
                      static_argnums=(4,))  # retraces per (bucket, cap)
+    p123_cache: dict = {}
+
+    def phase123_for(bucket: int):
+        if bucket not in p123_cache:
+            p123_cache[bucket] = jax.jit(
+                partial(core.phase123, bucket=bucket))
+        return p123_cache[bucket]
+
     return TwoPhaseFns(
         jax.jit(core.phase1), lambda bucket: phase2,
         jax.jit(core.scatter_eval, donate_argnums=(1, 2)),
@@ -579,7 +615,8 @@ def make_two_phase_fns(cfg: Config, algo: str, channel_kind: str, res: int,
         phase1e=(jax.jit(core.phase1e)
                  if core.phase1e is not None else None),
         phase23b=(jax.jit(core.phase23b, donate_argnums=(1, 2))
-                  if core.phase23b is not None else None))
+                  if core.phase23b is not None else None),
+        phase123_for=phase123_for)
 
 
 class TwoPhaseFns(NamedTuple):
@@ -594,6 +631,7 @@ class TwoPhaseFns(NamedTuple):
     phase23: Optional[Callable] = None
     phase1e: Optional[Callable] = None
     phase23b: Optional[Callable] = None
+    phase123_for: Optional[Callable] = None
 
 
 def _pad_bucket(active: np.ndarray, min_bucket: int):
@@ -628,8 +666,18 @@ def _take_trials_jit(state, y, idx):
     return state_take_trials(state, idx), y[idx]
 
 
+def _hint_bucket(n_active: float, min_bucket: int, res: int) -> int:
+    """Next realization's static bucket from this one's survivor count:
+    pow2 with 1.5x headroom (survivor counts are binomial across
+    realizations — at res=65536 the relative spread is <3%, so 1.5x
+    makes overflow fallbacks rare), floored at ``min_bucket`` and capped
+    at ``res``."""
+    want = max(min_bucket, int(np.ceil(n_active * 1.5)), 1)
+    return min(1 << (want - 1).bit_length(), res)
+
+
 def run_two_phase_realization(fns, key, snr, min_bucket: int = 64,
-                              ladder: bool = False):
+                              ladder: bool = False, hint: dict | None = None):
     """Host orchestration of one continuation-batched realization.
 
     With ``ladder=True`` (and cap/k1 metadata on ``fns``), the
@@ -653,6 +701,22 @@ def run_two_phase_realization(fns, key, snr, min_bucket: int = 64,
         # (phase2(key, y, state, snr, t)); pre-``t`` 4-arg callables are
         # not supported through this shim.
         fns = TwoPhaseFns(*fns)
+    if (hint is not None and not ladder and fns.phase123_for is not None
+            and hint.get("bucket")
+            and os.environ.get("AMP_PHASE123", "1") not in ("0", "false")):
+        # Single-program realization: the previous realization's
+        # survivor count sizes a static bucket, so the gather happens
+        # IN-GRAPH and the only host round-trip is the final sums
+        # fetch.  On overflow (survivors > bucket — rare with the 1.5x
+        # headroom) the sums are discarded and the realization redone
+        # on the host-orchestrated path below.
+        out = metrics.fetch_sums(
+            fns.phase123_for(hint["bucket"])(key, snr))
+        if out.pop("_overflow", 1.0) == 0.0:
+            hint["bucket"] = _hint_bucket(out.pop("_n_active"),
+                                          min_bucket,
+                                          int(out["trials"]))
+            return out
     if (not ladder and fns.phase1e is not None
             and fns.phase23b is not None
             and os.environ.get("AMP_BUCKET_EVAL", "0") not in ("0",
@@ -679,6 +743,9 @@ def run_two_phase_realization(fns, key, snr, min_bucket: int = 64,
         return fns.phase23b(key, y, state, pad_idx, valid, snr, frozen)
     y, state = fns.phase1(key, snr)
     active = np.asarray(state.active)
+    if hint is not None:
+        hint["bucket"] = _hint_bucket(float(active.sum()), min_bucket,
+                                      active.size)
     if int(active.sum()) == 0:
         return fns.evaluate(key, state)
     pad_idx, bucket = _pad_bucket(active, min_bucket)
@@ -809,6 +876,7 @@ class Simulator:
         self._tp_fns = None       # static-k1 cache: (res, fns)
         self._tp_cache = {}       # auto cache: {(res, k1, precision): fns}
         self._last_meanT = None   # previous point's mean T (auto inputs)
+        self._tp_hint = {}        # rolling phase123 bucket hint
 
     # --- one jitted step: C channel realizations x res trials -------------
 
@@ -909,7 +977,8 @@ class Simulator:
             for c in range(n_real):
                 key = jax.random.fold_in(base, c)
                 total = metrics.accumulate(
-                    total, run_two_phase_realization(fns, key, snr_dev))
+                    total, run_two_phase_realization(
+                        fns, key, snr_dev, hint=self._tp_hint))
             out = metrics.finalize(total, cfg)
             self._last_meanT = out["T"]
             return out

@@ -200,7 +200,20 @@ def _linear_iteration(sigma2, xm_re, xm_im, var, z_re, z_im, u, y_re, y_im,
         # unless ``gains_folded`` delivers them precomputed
         # (resident-hoisting cost the VAMP kernel 100M spill slots).
         dmc = S_im if gains_folded else S_im - S_re
-        if xm_im is None:
+        if xm_im is None and gains_folded and S_re.shape[1] > Lh * Nr:
+            # Fused forward: k1 and k2 share the LHS (xm_re), so the
+            # host stacks their RHS planes at 128-aligned lane offsets
+            # ([S_re_g | pad | dmc_g], see _fold_taps) and ONE matmul
+            # call produces both — same MXU output tiles, one less
+            # per-call fixed cost (the mm/7matmuls floor measured the
+            # matmuls at ~46% of the 6-pass roof at M=320: per-call
+            # overhead, not MACs, is the margin).
+            half = S_re.shape[1] // 2
+            k12 = dot_x(xm_re, S_re)
+            k1 = k12[:, :Lh * Nr]
+            k2 = k12[:, half:half + Lh * Nr]
+            Pr, Pi = k1, k1 + k2
+        elif xm_im is None:
             # real x: (a)(c+id) = ac + i ad; ad = a@(d-c) + a@c = k2+k1.
             k1 = dot_x(xm_re, S_re)
             k2 = dot_x(xm_re, dmc)
@@ -869,12 +882,16 @@ class _PlaneKernelBase:
             return gh[:, 0]
         return None
 
-    def _fold_taps(self, cmul: str):
+    def _fold_taps(self, cmul: str, real_x: bool = False):
         """Pre-scale the tap planes by the per-tap gains and (for the
         Gauss complex product) pre-build the combo planes, so the kernel
         skips all six per-iteration gain multiplies and four combo adds.
         Returns the 8-tuple filling the kernel's tap/gain slots; see
-        ``_linear_iteration(gains_folded=True)`` for the slot map."""
+        ``_linear_iteration(gains_folded=True)`` for the slot map.
+
+        ``real_x`` + gauss additionally stacks the two forward RHS
+        planes at 128-aligned lane offsets ([S_re_g | pad | dmc_g]) so
+        the forward runs as ONE fused matmul call (same output tiles)."""
         gl = self._gains_per_tap()
         assert gl is not None
         lane = np.repeat(gl, self.op.Nr)[None, :]     # (1, Lh*Nr)
@@ -882,11 +899,20 @@ class _PlaneKernelBase:
         S_im_g = self.S_im * lane
         S_a2_g2 = self.S_a2 * (lane * lane)
         St_re_g, St_im_g, St_a2_g2 = S_re_g.T, S_im_g.T, S_a2_g2.T
+        dummy = jnp.zeros((8, 128), jnp.float32)
+        if cmul == "gauss" and real_x:
+            W = S_re_g.shape[1]
+            wpad = -(-W // 128) * 128
+            z = jnp.zeros((S_re_g.shape[0], wpad - W), jnp.float32)
+            stacked = jnp.concatenate(
+                [S_re_g, z, S_im_g - S_re_g, z], axis=1)
+            return (stacked, dummy, S_a2_g2,
+                    St_re_g, -St_im_g - St_re_g, St_a2_g2,
+                    dummy, St_re_g - St_im_g)
         if cmul == "gauss":
             return (S_re_g, S_im_g - S_re_g, S_a2_g2,
                     St_re_g, -St_im_g - St_re_g, St_a2_g2,
                     S_re_g + S_im_g, St_re_g - St_im_g)
-        dummy = jnp.zeros((8, 128), jnp.float32)
         return (S_re_g, S_im_g, S_a2_g2, St_re_g, St_im_g, St_a2_g2,
                 dummy, dummy)
 
@@ -988,7 +1014,8 @@ class FusedBandedDecode(_PlaneKernelBase):
         # resident Gf/G2f plane path.
         self.gains_folded = (os.environ.get("AMP_KERNEL_GAINS", "1") != "0"
                              and self._gains_per_tap() is not None)
-        self._tap_args = (self._fold_taps(self.cmul) if self.gains_folded
+        self._tap_args = (self._fold_taps(self.cmul, real_x=self.real_x)
+                          if self.gains_folded
                           else (self.S_re, self.S_im, self.S_a2,
                                 self.S_re.T, self.S_im.T, self.S_a2.T,
                                 self.Gf, self.G2f))
@@ -1041,7 +1068,10 @@ class FusedBandedDecode(_PlaneKernelBase):
             out_shape=[x_shape] * 5 + [y_shape] * 3 + [a_shape] * 2,
             input_output_aliases=aliases,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024),
+                # Full physical VMEM: a cap, not an allocation — the
+                # massive Nt=1344 geometry at PALLAS_TILE=8 needs the
+                # headroom (blocked operands + taps + temporaries ~70MB).
+                vmem_limit_bytes=128 * 1024 * 1024),
             interpret=self.interpret,
         )(jnp.asarray(sigma2, jnp.float32).reshape(1),
           jnp.asarray(cap, jnp.int32).reshape(1), act, T,

@@ -175,9 +175,11 @@ def main():
         fns = montecarlo.make_two_phase_fns(cfg, "bamp", "sparc", res,
                                             two_phase, operator_form=form,
                                             use_pallas=use_pallas)
+        hint = {}   # rolling phase123 bucket (single-program realization)
 
         def step(key, snr):
-            return montecarlo.run_two_phase_realization(fns, key, snr)
+            return montecarlo.run_two_phase_realization(fns, key, snr,
+                                                        hint=hint)
     else:
         fn = montecarlo.make_realization_fn(cfg, "bamp", "sparc", res,
                                             operator_form=form,

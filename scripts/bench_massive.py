@@ -43,11 +43,14 @@ def main():
     log(f"platform={jax.default_backend()} cfg={cfg.name} cap=300 "
         f"EbN0={ebn0} k1={k1}")
     base = jax.random.PRNGKey(0)
+    import os
+    use_pallas = os.environ.get("MASSIVE_PALLAS", "0") not in ("0",
+                                                               "false")
     for res in ress:
         t0 = time.perf_counter()
         fns = montecarlo.make_two_phase_fns(
             cfg, "bamp", "sparc", res, k1, operator_form="banded",
-            use_pallas=False)
+            use_pallas=use_pallas)
         out = fetch_sums(montecarlo.run_two_phase_realization(
             fns, jax.random.fold_in(base, 999), snr_dev))
         log(f"res={res}: compile+first {time.perf_counter() - t0:.1f}s "

@@ -18,6 +18,7 @@ and A/Bs the round-4 ladder knobs on the full body:
 Usage: timeout 1200 python scripts/profile_kernel_stages.py [B] [NIT]
 """
 import functools
+import os
 import sys
 import time
 
@@ -77,6 +78,35 @@ def make_timer(fd, B, NIT, *, stage="full", fold_mode="roll",
                 b1 = dot(f1, St_re)
                 b2 = dot(f2, St_im)
                 b3 = dot(f1 + f2, St_re)
+                return (0.1 * b1 + 0.01 * b3, xm_im,
+                        jnp.minimum(jnp.abs(b0) + 0.1 * jnp.abs(b2), 2.0),
+                        z_re, z_im, u, nk)
+            if stage == "mm6":
+                # Manual 6-pass HIGHEST with HOST-PRESPLIT bf16 RHS
+                # triples ([hi; mid; lo] stacked on sublanes): if the
+                # native HIGHEST lowering re-splits both operands into
+                # bf16 planes on the VPU at every call, removing the
+                # (loop-invariant) RHS splits should show up here.
+                def dot6(x, a3):
+                    K = x.shape[1]
+                    x1 = x.astype(jnp.bfloat16)
+                    r1 = x - x1.astype(jnp.float32)
+                    x2 = r1.astype(jnp.bfloat16)
+                    x3 = (r1 - x2.astype(jnp.float32)).astype(jnp.bfloat16)
+                    a1, a2, a3_ = a3[:K], a3[K:2 * K], a3[2 * K:]
+                    d = lambda p, q: jnp.dot(
+                        p, q, preferred_element_type=jnp.float32)
+                    return (d(x1, a1) + (d(x1, a2) + d(x2, a1))
+                            + (d(x1, a3_) + d(x3, a1) + d(x2, a2)))
+
+                S_re, S_im, S_a2, St_re, St_im, St_a2 = taps[:6]
+                f1 = dot6(xm_re, S_re)
+                f2 = dot6(xm_re, S_im)
+                f3 = dot6(var, S_a2)
+                b0 = dot6(f3, St_a2)
+                b1 = dot6(f1, St_re)
+                b2 = dot6(f2, St_im)
+                b3 = dot6(f1 + f2, St_re)
                 return (0.1 * b1 + 0.01 * b3, xm_im,
                         jnp.minimum(jnp.abs(b0) + 0.1 * jnp.abs(b2), 2.0),
                         z_re, z_im, u, nk)
@@ -142,7 +172,8 @@ def make_timer(fd, B, NIT, *, stage="full", fold_mode="roll",
     x_shape = jax.ShapeDtypeStruct((Lin, B, Nt), jnp.float32)
     y_shape = jax.ShapeDtypeStruct((Lout, B, Nr), jnp.float32)
 
-    taps_args = (fd.profiler_taps_folded if gains_folded
+    taps_args = (fd.profiler_taps_presplit if stage == "mm6"
+                 else fd.profiler_taps_folded if gains_folded
                  else fd.profiler_taps)
 
     def run(sigma2, planes, taps):
@@ -182,13 +213,25 @@ def main():
         _, op2 = operators.banded_sparc(k, cfg)
         f2 = fb.FusedBandedDecode(op2, B, symbols=cfg.symbols, M=cfg.M)
         holder["fd"] = f2
-        return ((f2.S_re, f2.S_im, f2.S_a2, f2.S_re.T, f2.S_im.T,
-                 f2.S_a2.T, f2.Gf, f2.G2f), f2._fold_taps("gauss"))
+        folded = f2._fold_taps("gauss")
 
-    taps, taps_folded = mk_taps(key)
+        def presplit(a):
+            a = jnp.asarray(a, jnp.float32)
+            a1 = a.astype(jnp.bfloat16)
+            r = a - a1.astype(jnp.float32)
+            a2 = r.astype(jnp.bfloat16)
+            a3 = (r - a2.astype(jnp.float32)).astype(jnp.bfloat16)
+            return jnp.concatenate([a1, a2, a3], axis=0)
+
+        pre = tuple(presplit(t) for t in folded[:6]) + folded[6:]
+        return ((f2.S_re, f2.S_im, f2.S_a2, f2.S_re.T, f2.S_im.T,
+                 f2.S_a2.T, f2.Gf, f2.G2f), folded, pre)
+
+    taps, taps_folded, taps_pre = mk_taps(key)
     fd = holder["fd"]
     fd.profiler_taps = taps
     fd.profiler_taps_folded = taps_folded
+    fd.profiler_taps_presplit = taps_pre
     Lin, Lout, Lh, Nt, Nr, tile, trunc = fd.geom
     log(f"platform={jax.default_backend()} B={B} NIT={NIT} tile={tile}")
 
@@ -227,7 +270,12 @@ def main():
         ("den/roll", dict(stage="den")),
         ("noconv/roll", dict(stage="noconv")),
         ("mm/7matmuls", dict(stage="mm", gains_folded=True)),
+        ("mm6/presplit", dict(stage="mm6", gains_folded=True)),
     ]
+    only = [s for s in os.environ.get("PROF_ONLY", "").split(",") if s]
+    if only:
+        variants = [(n, kw) for n, kw in variants
+                    if any(o in n for o in only)]
     useful_flop = 3.69e6  # per iter per trial (bench.py roofline)
     results = {}
     # On the remote-TPU tunnel, block_until_ready does not actually wait;

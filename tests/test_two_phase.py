@@ -205,3 +205,58 @@ def test_bucket_eval_matches_full_eval(monkeypatch, tmp_path):
                     two_phase=6).run_point(6.0, epochs=256, res=64)
     for k, v in ref.items():
         assert out[k] == pytest.approx(v, rel=1e-5, abs=1e-9), k
+
+
+def test_phase123_single_program_matches_host_path():
+    """The single-program realization (static bucket, in-graph gather)
+    must produce identical sums to the host-orchestrated path: the
+    gather keeps actives in original order and the pad rows are frozen
+    either way."""
+    import jax.numpy as jnp
+    from amp_sparc_spatialmodulation_tpu.models import montecarlo
+    from amp_sparc_spatialmodulation_tpu.utils.metrics import fetch_sums
+    cfg = Config(Nt=16, Na=4, Nr=10, Lin=6, Lh=3, mode="segmented",
+                 alphabet="OOK", profile="uniform", trunc="tail",
+                 iterations=40)
+    res = 256
+    snr = jnp.float32(10 ** ((6.0 + 10 * np.log10(cfg.code_rate)) / 10))
+    key = jax.random.PRNGKey(11)
+    fns = montecarlo.make_two_phase_fns(cfg, "bamp", "segmented", res, 6,
+                                        operator_form="banded")
+    ref = fetch_sums(montecarlo.run_two_phase_realization(fns, key, snr))
+    hint = {}
+    # first call (no hint yet) takes the host path and seeds the hint
+    first = fetch_sums(montecarlo.run_two_phase_realization(
+        fns, key, snr, hint=hint))
+    assert hint.get("bucket")
+    for k, v in ref.items():
+        assert first[k] == pytest.approx(v, rel=1e-6, abs=1e-9), k
+    # second call takes the fused single-program path
+    fused = montecarlo.run_two_phase_realization(fns, key, snr, hint=hint)
+    assert "_overflow" not in fused and "_n_active" not in fused
+    for k, v in ref.items():
+        assert fused[k] == pytest.approx(v, rel=1e-6, abs=1e-9), k
+
+
+def test_phase123_overflow_falls_back():
+    """A too-small hint bucket must be detected (survivors > bucket) and
+    the realization redone on the host path with correct sums."""
+    import jax.numpy as jnp
+    from amp_sparc_spatialmodulation_tpu.models import montecarlo
+    from amp_sparc_spatialmodulation_tpu.utils.metrics import fetch_sums
+    cfg = Config(Nt=16, Na=4, Nr=10, Lin=6, Lh=3, mode="segmented",
+                 alphabet="OOK", profile="uniform", trunc="tail",
+                 iterations=40)
+    res = 256
+    # low SNR: most trials survive phase 1 -> bucket=8 must overflow
+    snr = jnp.float32(10 ** ((2.0 + 10 * np.log10(cfg.code_rate)) / 10))
+    key = jax.random.PRNGKey(12)
+    fns = montecarlo.make_two_phase_fns(cfg, "bamp", "segmented", res, 4,
+                                        operator_form="banded")
+    ref = fetch_sums(montecarlo.run_two_phase_realization(fns, key, snr))
+    hint = {"bucket": 8}
+    out = fetch_sums(montecarlo.run_two_phase_realization(
+        fns, key, snr, hint=hint))
+    assert hint["bucket"] > 8        # reseeded from the true count
+    for k, v in ref.items():
+        assert out[k] == pytest.approx(v, rel=1e-6, abs=1e-9), k
