@@ -783,6 +783,38 @@ def run_two_phase_realization(fns, key, snr, min_bucket: int = 64,
     return fns.scatter_eval(key, state, sub, pad_idx)
 
 
+def run_two_phase_batches(fns, keys, snr, hint: dict,
+                          min_bucket: int = 64):
+    """Run several realizations with DEFERRED sums fetching: on the
+    single-program (phase123) path the per-batch device sums accumulate
+    ON DEVICE and the host fetches ONCE at the end — zero per-batch
+    round-trips.  The summed ``_overflow`` flag detects any batch whose
+    survivors exceeded the static bucket; that (rare) case redoes the
+    whole key list on the per-realization path.  Returns fetched float
+    sums."""
+    if (hint.get("bucket") and fns.phase123_for is not None
+            and os.environ.get("AMP_PHASE123", "1") not in ("0", "false")):
+        fn = fns.phase123_for(hint["bucket"])
+        total = None
+        for k in keys:
+            total = metrics.accumulate(total, fn(k, snr))
+        out = metrics.fetch_sums(total)
+        if out.pop("_overflow", 1.0) == 0.0:
+            res = int(out["trials"]) // len(keys)
+            hint["bucket"] = _hint_bucket(
+                out.pop("_n_active") / len(keys), min_bucket, res)
+            return out
+    total = None
+    for k in keys:
+        total = metrics.accumulate(
+            total, run_two_phase_realization(fns, k, snr, min_bucket,
+                                             hint=hint))
+    out = metrics.fetch_sums(total)
+    out.pop("_overflow", None)
+    out.pop("_n_active", None)
+    return out
+
+
 # Quantized k1 grid for two_phase='auto': the compiled TwoPhaseFns are
 # cached per (res, k1), so auto-k1 costs at most a handful of compiles per
 # sweep even when mean T spans 57 -> 6 (BAMPfinal OOK 6 -> 10 dB).
@@ -974,11 +1006,13 @@ class Simulator:
         total = None
         if self.two_phase is not None:
             fns = self._two_phase_fns(res)
-            for c in range(n_real):
-                key = jax.random.fold_in(base, c)
-                total = metrics.accumulate(
-                    total, run_two_phase_realization(
-                        fns, key, snr_dev, hint=self._tp_hint))
+            keys = [jax.random.fold_in(base, c) for c in range(n_real)]
+            # Deferred-fetch: device-accumulated sums, one transfer per
+            # point (chunks of 16 bound the dispatch queue and keep the
+            # overflow-fallback redo granularity small).
+            for c0 in range(0, n_real, 16):
+                total = metrics.accumulate(total, run_two_phase_batches(
+                    fns, keys[c0:c0 + 16], snr_dev, self._tp_hint))
             out = metrics.finalize(total, cfg)
             self._last_meanT = out["T"]
             return out

@@ -141,6 +141,7 @@ def main():
     pallas_env = os.environ.get("BENCH_PALLAS", "auto")
     use_pallas = ("auto" if pallas_env == "auto"
                   else pallas_env not in ("0", "false"))
+    run_batches = None   # set on the two-phase path (deferred-fetch reps)
     if os.environ.get("BENCH_SHARD"):
         # Sharded mode: the same point over ALL local devices (weak
         # scaling switch for the day real multi-chip hardware appears; on
@@ -180,6 +181,10 @@ def main():
         def step(key, snr):
             return montecarlo.run_two_phase_realization(fns, key, snr,
                                                         hint=hint)
+
+        def run_batches(keys, snr):
+            # deferred-fetch rep: device-accumulated sums, ONE transfer
+            return montecarlo.run_two_phase_batches(fns, keys, snr, hint)
     else:
         fn = montecarlo.make_realization_fn(cfg, "bamp", "sparc", res,
                                             operator_form=form,
@@ -214,14 +219,22 @@ def main():
 
     global _session_best
     best = None
+    batch_runner = run_batches
     for r in range(reps):
         t0 = time.perf_counter()
-        total_T, total_trials, fer_sum = 0.0, 0, 0.0
-        for i in range(n_batches):
-            out = fetch_sums(step(jax.random.fold_in(base, i), snr_dev))
-            total_T += out["T"]
-            total_trials += int(out["trials"])
-            fer_sum += out["fer"]
+        if batch_runner is not None:
+            keys = [jax.random.fold_in(base, i) for i in range(n_batches)]
+            out = batch_runner(keys, snr_dev)
+            total_T, total_trials = out["T"], int(out["trials"])
+            fer_sum = out["fer"]
+        else:
+            total_T, total_trials, fer_sum = 0.0, 0, 0.0
+            for i in range(n_batches):
+                out = fetch_sums(step(jax.random.fold_in(base, i),
+                                      snr_dev))
+                total_T += out["T"]
+                total_trials += int(out["trials"])
+                fer_sum += out["fer"]
         dt = time.perf_counter() - t0
         rep = dict(trials_per_s=total_trials / dt, iters_per_s=total_T / dt,
                    dt=dt, total_trials=total_trials,
