@@ -53,14 +53,29 @@ def main():
         log(f"res={res}: compile+first {time.perf_counter() - t0:.1f}s "
             f"meanT={out['T'] / out['trials']:.2f} "
             f"fer={out['fer'] / out['trials']:.3e}")
+        import os
+        hint = {}
+        if os.environ.get("SCAMP_HINT", "1") not in ("0", "false"):
+            # seed the phase123 bucket hint, then measure the
+            # deferred-fetch single-program path
+            fetch_sums(montecarlo.run_two_phase_realization(
+                fns, jax.random.fold_in(base, 998), snr, hint=hint))
+            log(f"res={res}: hint bucket={hint.get('bucket')}")
         best = None
         for r in range(3):
             t0 = time.perf_counter()
-            tot = 0.0
-            for i in range(4):
-                out = fetch_sums(montecarlo.run_two_phase_realization(
-                    fns, jax.random.fold_in(base, 8 * r + i), snr))
-                tot += out["trials"]
+            if hint.get("bucket"):
+                keys = [jax.random.fold_in(base, 8 * r + i)
+                        for i in range(4)]
+                out = montecarlo.run_two_phase_batches(fns, keys, snr,
+                                                       hint)
+                tot = out["trials"]
+            else:
+                tot = 0.0
+                for i in range(4):
+                    out = fetch_sums(montecarlo.run_two_phase_realization(
+                        fns, jax.random.fold_in(base, 8 * r + i), snr))
+                    tot += out["trials"]
             tps = tot / (time.perf_counter() - t0)
             log(f"  res={res} rep{r}: {tps:.1f} trials/s")
             best = tps if best is None or tps > best else best
