@@ -278,9 +278,21 @@ def decode(H, y: jnp.ndarray, sigma2, cfg: Config,
                         op, B, interpret=interpret, fuse_denoiser=True,
                         symbols=cfg.symbols, M=cfg.M)
                 except NoVmemTileError:
-                    # Geometry doesn't fit a VMEM trial tile (e.g. the
-                    # massive Nt=1344 config) — XLA banded covers it.
+                    # Geometry doesn't fit a whole-frame VMEM trial tile
+                    # (e.g. the massive Nt=1344 config) — try the
+                    # FRAME-TILED per-iteration kernel (round 5); XLA
+                    # banded covers anything it declines (complex
+                    # alphabets, non-tail truncation, column-dependent
+                    # gains).
                     fused = None
+        if whole is None and fused is None and mode != "xla":
+            from ..ops.pallas.fused_bamp_tiled import TiledBandedIteration
+            try:
+                fused = TiledBandedIteration(
+                    op, B, interpret=interpret, symbols=cfg.symbols,
+                    M=cfg.M, precision=precision)
+            except (NoVmemTileError, ValueError):
+                fused = None
 
     sigma2 = jnp.asarray(sigma2, jnp.float32)
     if state0 is None:

@@ -232,6 +232,13 @@ def resolve_use_pallas(use_pallas, cfg: Config, algo: str,
         ok = kern.covers(cfg)
         if ok and batch is not None:
             ok = kern.fits(cfg, batch)
+            if not ok and algo == "bamp":
+                # Whole-frame tile doesn't fit (massive geometries) —
+                # the FRAME-TILED per-iteration kernel may still cover
+                # it (round 5; bamp.decode resolves the same chain).
+                from ..ops.pallas.fused_bamp_tiled import (
+                    TiledBandedIteration)
+                ok = TiledBandedIteration.covers(cfg, batch)
         return ok
     if use_pallas is True and kern is None:
         # Honest knob: no fused kernel exists for this algorithm at all;

@@ -111,6 +111,7 @@ def _vamp_decode_kernel(sigma2_ref, cap_ref, act_ref, T_ref,
                 return self.ref[0]
 
         taps = tuple(_T(r) for r in raw_taps)
+        s2_ref = _T(s2_ref)   # (1, 1, p) block -> (1, p) view
     else:
         taps = raw_taps
     dot = make_dot(precision)
@@ -351,7 +352,10 @@ class FusedVampDecode:
             tapspec = [pl.BlockSpec((1,) + t.shape[1:], real,
                                     memory_space=pltpu.VMEM)
                        for t in self.taps]
-            s2spec = pl.BlockSpec((1, p), lambda i: (i // tpr, 0),
+            # s2 rides as (C, 1, p): Mosaic requires the LAST TWO block
+            # dims to divide (8, 128) or equal the array dims, so the
+            # realization axis must be a leading (freely blocked) dim.
+            s2spec = pl.BlockSpec((1, 1, p), real,
                                   memory_space=pltpu.VMEM)
         else:
             tapspec = [full() for _ in self.taps]
@@ -386,4 +390,5 @@ class FusedVampDecode:
         )(jnp.asarray(sigma2, jnp.float32).reshape(1),
           jnp.asarray(cap, jnp.int32).reshape(1), act, T,
           rt_re, rt_im, s2t, r_re, r_im, var, xm_re, xm_im,
-          yt_re, yt_im, s2, *self.taps)
+          yt_re, yt_im,
+          s2.reshape(self.C, 1, p) if self.C else s2, *self.taps)
