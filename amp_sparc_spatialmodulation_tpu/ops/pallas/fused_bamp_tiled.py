@@ -125,14 +125,15 @@ def _tiled_iteration_kernel(sigma2_ref, act_ref,
 
     # ---- y write block: rows [jF, (j+1)F) -----------------------------
     # Pad the forward planes to 2F*Bt rows with the zero-extended
-    # operator's values (zn=0, un=sigma2) and slice at 0 or F*Bt.
+    # operator's values (zn=0, un=sigma2); the write rows are the low
+    # half (j < n_xt) or the high half (the tail program) — BOTH slices
+    # are static (Mosaic has no dynamic_slice), selected per program.
     pad = (2 * F * Bt) - ny
 
     def ywrite(plane, fill):
         p = jnp.concatenate(
             [plane, jnp.full((pad, Nr), fill, jnp.float32)], axis=0)
-        off = jnp.where(j == n_xt, F * Bt, 0)
-        return jax.lax.dynamic_slice(p, (off, 0), (F * Bt, Nr))
+        return jnp.where(j == n_xt, p[F * Bt:], p[:F * Bt])
 
     act = act_ref[:]                           # (Bt, 1)
     my = jnp.concatenate([act] * F, axis=0)    # (F*Bt, 1)
@@ -261,7 +262,9 @@ class TiledBandedIteration(_PlaneKernelBase):
         self.n_xt = Lin // F
         self.n_yt = self.n_xt + 1
         self.Lout_pad = self.n_yt * F
-        tile = tile or int(os.environ.get("AMP_TILED_TILE", "8"))
+        tile = tile or int(os.environ.get("AMP_TILED_TILE", "16"))
+        while batch % tile and tile > 8:
+            tile //= 2
         if batch % tile:
             raise NoVmemTileError(f"trial tile {tile} !| batch {batch}")
         self._setup(op, tile)

@@ -252,17 +252,15 @@ class FusedVampDecode:
     @classmethod
     def fits(cls, cfg, batch: int, batched: bool = False) -> bool:
         """VMEM trial-tile fit from config geometry — the constructor's
-        own ``_pick_tile_vamp``/``_pick_chunk`` math.  ``batched=True``
-        budgets the realization-batched mode (grid-blocked tap planes
-        are double-buffered)."""
+        own ``_pick_tile_vamp``/``_pick_chunk`` math (``batched`` uses
+        the same budget; see the constructor note)."""
         import os
         N = cfg.Lin * cfg.Nt
         p = min(cfg.Lout * cfg.Nr, N)
         n_vh = 6 if os.environ.get("AMP_KERNEL_CMUL", "gauss") == "gauss" \
             else 4
         return _pick_tile_vamp(batch, N, p, cfg.K, cfg.M,
-                               _pick_chunk(N, cfg.M),
-                               n_vh * (2 if batched else 1)) > 0
+                               _pick_chunk(N, cfg.M), n_vh) > 0
 
     def __init__(self, Vh, batch: int, interpret: bool = False,
                  symbols=None, M: int = 0, chunk: int | None = None,
@@ -297,12 +295,14 @@ class FusedVampDecode:
         self.chunk = _pick_chunk(self.N, M) if chunk is None else chunk
         if self.N % self.chunk or self.chunk % M:
             raise ValueError("chunk must divide N and be a multiple of M")
-        # Grid-blocked tap planes are double-buffered by the pipeline,
-        # so the batched mode budgets two resident copies.
+        # Batched mode keeps the PLAIN tap budget: the doubled
+        # (double-buffered) estimate dropped the tile to 32 and LOST 11%
+        # (matmul M = tile), while the forced tile=64 compiled fine at
+        # ~112MB — the pipeline only re-fetches tap blocks at the C-1
+        # realization transitions, so the second buffer is transient.
         tile = _pick_tile_vamp(batch, self.N, self.p, len(syms), M,
                                self.chunk,
-                               (6 if self.cmul == "gauss" else 4)
-                               * (2 if self.C else 1))
+                               6 if self.cmul == "gauss" else 4)
         if tile == 0:
             raise NoVmemTileError(
                 "no trial tile fits VMEM for this geometry")
