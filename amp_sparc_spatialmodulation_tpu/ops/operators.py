@@ -118,8 +118,20 @@ class BandedOperator:
         y = jnp.zeros((B, self.Lout, self.Nr), P.dtype)
         for l in range(self.Lh):
             rows, cols = self._rows(l)
-            contrib = gains[l, cols][None, :, None] * P[:, cols, l]
-            y = y.at[:, rows].add(contrib)
+            if self.trunc == "cyclic":
+                # wrapped rows need the general scatter
+                contrib = gains[l, cols][None, :, None] * P[:, cols, l]
+                y = y.at[:, rows].add(contrib)
+            else:
+                # tail/trunc rows and cols are CONTIGUOUS ranges: static
+                # slice-adds fuse in XLA (the index-array form lowered to
+                # a scatter whose scoped-VMEM stack overflows at large
+                # trial batches, e.g. QPSK res=32768).
+                r0, c0 = int(rows[0]), int(cols[0])
+                k = len(cols)
+                contrib = (gains[l, c0:c0 + k][None, :, None]
+                           * P[:, c0:c0 + k, l])
+                y = y.at[:, r0:r0 + k].add(contrib)
         return y.reshape(B, self.Lout * self.Nr)
 
     def _bwd(self, z, taps_stack, gains):
@@ -129,8 +141,16 @@ class BandedOperator:
         Zl = jnp.zeros((B, self.Lin, self.Lh, self.Nr), zb.dtype)
         for l in range(self.Lh):
             rows, cols = self._rows(l)
-            Zl = Zl.at[:, cols, l].set(gains[l, cols][None, :, None]
-                                       * zb[:, rows])
+            if self.trunc == "cyclic":
+                Zl = Zl.at[:, cols, l].set(gains[l, cols][None, :, None]
+                                           * zb[:, rows])
+            else:
+                # contiguous ranges: static slice-set (see _fwd)
+                r0, c0 = int(rows[0]), int(cols[0])
+                k = len(cols)
+                Zl = Zl.at[:, c0:c0 + k, l].set(
+                    gains[l, c0:c0 + k][None, :, None]
+                    * zb[:, r0:r0 + k])
         r = jnp.matmul(Zl.reshape(B * self.Lin, self.Lh * self.Nr),
                        jnp.conj(taps_stack).T, precision=self.precision)
         return r.reshape(B, self.Lin * self.Nt)
