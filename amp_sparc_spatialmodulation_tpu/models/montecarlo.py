@@ -916,6 +916,7 @@ class Simulator:
         self._tp_cache = {}       # auto cache: {(res, k1, precision): fns}
         self._last_meanT = None   # previous point's mean T (auto inputs)
         self._tp_hint = {}        # rolling phase123 bucket hint
+        self._probe = None        # compiled auto-k1 probe step
 
     # --- one jitted step: C channel realizations x res trials -------------
 
@@ -958,19 +959,42 @@ class Simulator:
             self._step = (key, self._build_step(res))
         return self._step[1]
 
-    def _two_phase_fns(self, res: int):
+    def _probe_meanT(self, snr_dev, key_base):
+        """Short probe decode at THIS point: mean T from a small batch
+        so auto-k1 sits just above it.  The previous point's mean T
+        (the fallback when probing is off) OVERSHOOTS ~2x at 1 dB grid
+        spacing (BAMPfinal OOK: T falls 57 -> 29 -> 11 across adjacent
+        points); the probe costs one small-batch decode per point (the
+        compiled step is cached across the sweep)."""
+        res_p = 2048
+        if self._probe is None:
+            self._probe = jax.jit(make_realization_fn(
+                self.cfg, self.algo, self.channel_kind, res_p,
+                precision=self._effective_precision(),
+                estimate_phi=self.estimate_phi,
+                operator_form=self.operator_form,
+                use_pallas=self.use_pallas))
+        out = metrics.fetch_sums(self._probe(
+            jax.random.fold_in(key_base, 0x9A0BE), snr_dev))
+        return out["T"] / out["trials"]
+
+    def _two_phase_fns(self, res: int, snr_dev=None, key_base=None):
         """The continuation-batching bundle for this point.
 
-        ``two_phase='auto'`` picks k1 from the previous point's measured
-        mean T (:func:`auto_k1`; sweeps run SNR-ascending, so T falls
-        point to point and the previous mean upper-bounds this one) and
-        caches the compiled bundle per (res, k1) — the quantized grid
-        bounds the compile count.  Metric sums are k1-INVARIANT (the
-        decode trajectory is resumable state, the phase boundary only
-        changes batch shapes), so auto-k1 is a pure scheduling choice.
-        """
+        ``two_phase='auto'`` picks k1 just above the point's mean T —
+        measured by a short probe batch when possible, else the
+        previous point's mean (:func:`auto_k1`) — and caches the
+        compiled bundle per (res, k1) on the quantized grid.  Metric
+        sums are k1-INVARIANT (the decode trajectory is resumable
+        state, the phase boundary only changes batch shapes), so
+        auto-k1 is a pure scheduling choice."""
         if self.two_phase == "auto":
-            k1 = auto_k1(self._last_meanT, self.cfg.N_Layers)
+            mean_t = self._last_meanT
+            if snr_dev is not None and key_base is not None \
+                    and os.environ.get("AMP_AUTO_PROBE", "1") not in (
+                        "0", "false"):
+                mean_t = self._probe_meanT(snr_dev, key_base)
+            k1 = auto_k1(mean_t, self.cfg.N_Layers)
         else:
             k1 = self.two_phase
         key = (res, k1, self._effective_precision())
@@ -1012,7 +1036,7 @@ class Simulator:
         snr_dev = jnp.asarray(snr, jnp.float32)  # avoid per-value retracing
         total = None
         if self.two_phase is not None:
-            fns = self._two_phase_fns(res)
+            fns = self._two_phase_fns(res, snr_dev=snr_dev, key_base=base)
             keys = [jax.random.fold_in(base, c) for c in range(n_real)]
             # Deferred-fetch: device-accumulated sums, one transfer per
             # point (chunks of 16 bound the dispatch queue and keep the

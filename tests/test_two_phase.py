@@ -150,8 +150,8 @@ def test_auto_k1_sweep_matches_static(tmp_path):
         b = s_auto.run_point(ebn0, epochs=256, res=64, snr_idx=i)
         for k, v in a.items():
             assert b[k] == pytest.approx(v, rel=1e-5, abs=1e-9), (ebn0, k)
-    # the auto simulator used the first point's mean T for the second
-    assert len(s_auto._tp_cache) == 2
+    # auto picked per-point k1s (probe-based) and recorded history
+    assert len(s_auto._tp_cache) >= 1
     assert s_auto._last_meanT is not None
 
 
