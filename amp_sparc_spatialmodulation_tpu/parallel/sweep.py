@@ -10,6 +10,7 @@ scalar pytree per SNR point.
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -209,6 +210,7 @@ class ShardedTwoPhaseFns(NamedTuple):
     phase23: Callable
     eval_all: Callable
     model_size: int
+    phase123_for: Optional[Callable] = None  # bucket -> jitted program
 
 
 def make_sharded_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
@@ -301,7 +303,32 @@ def make_sharded_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
     eval_all = jax.jit(jax.shard_map(
         eval_dev, mesh=mesh, in_specs=(P(T), P(T)), out_specs=P(),
         check_vma=False), donate_argnums=(1,))
-    return ShardedTwoPhaseFns(phase1, phase23, eval_all, model_size=1)
+
+    # Single-program realizations (round 5): each device runs its C
+    # realizations end to end with the static-bucket in-graph gather
+    # (montecarlo.make_two_phase_core.phase123) and only the psum-reduced
+    # sums cross the mesh — the per-realization active-mask fetch
+    # disappears exactly as on the single-device path.
+    p123_cache: dict = {}
+
+    def phase123_for(bucket: int):
+        if bucket not in p123_cache:
+            def p123_dev(keys, snr):
+                sums = map_c(
+                    lambda k: core.phase123(k, snr, bucket=bucket),
+                    keys[0])
+                sums = jax.tree_util.tree_map(lambda x: x.sum(axis=0),
+                                              sums)
+                return jax.tree_util.tree_map(
+                    lambda x: lax.psum(x, TRIALS_AXIS), sums)
+
+            p123_cache[bucket] = jax.jit(jax.shard_map(
+                p123_dev, mesh=mesh, in_specs=(P(T), P()), out_specs=P(),
+                check_vma=False))
+        return p123_cache[bucket]
+
+    return ShardedTwoPhaseFns(phase1, phase23, eval_all, model_size=1,
+                              phase123_for=phase123_for)
 
 
 def _make_tp_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
@@ -491,12 +518,28 @@ def _make_tp_two_phase_fns(cfg: Config, algo: str, channel_kind: str,
 
 
 def run_sharded_two_phase(fns: ShardedTwoPhaseFns, keys, snr, res: int,
-                          min_bucket: int = 64):
+                          min_bucket: int = 64, hint: dict | None = None):
     """Host orchestration of one sharded continuation-batched step.
 
     ``keys`` is ``(D, C, 2)``; only the per-trial ``active`` booleans cross
-    to the host between phases."""
-    phase1, phase23, eval_all, model_size = fns
+    to the host between phases.  With a ``hint`` dict (rolling static
+    bucket, see the single-device runner) the whole step runs as ONE
+    sharded program — phase 1, in-graph per-realization gather,
+    continuation, evaluation, psum — and the only host traffic is the
+    final sums fetch; overflow falls back to the mask-fetch path below.
+    """
+    phase1, phase23, eval_all, model_size = fns[:4]
+    n_real = keys.shape[0] * keys.shape[1]
+    if (hint is not None and hint.get("bucket")
+            and fns.phase123_for is not None
+            and os.environ.get("AMP_PHASE123", "1") not in ("0", "false")):
+        out = metrics.fetch_sums(fns.phase123_for(hint["bucket"])(keys,
+                                                                  snr))
+        if out.pop("_overflow", 1.0) == 0.0:
+            hint["bucket"] = montecarlo._hint_bucket(
+                out.pop("_n_active") / n_real, min_bucket, res)
+            return out
+        out.pop("_n_active", None)
     y, state = phase1(keys, snr)
     active = np.asarray(state.active)               # (D*C, res)
     if model_size > 1:
@@ -504,6 +547,10 @@ def run_sharded_two_phase(fns: ShardedTwoPhaseFns, keys, snr, res: int,
         # are replicated across model shards (psum-reduced convergence).
         active = active[:, 0, :]
     n_max = int(active.sum(axis=1).max())
+    if hint is not None:
+        # worst realization's survivor count sizes the next fused bucket
+        hint["bucket"] = montecarlo._hint_bucket(float(n_max), min_bucket,
+                                                 res)
     if n_max == 0:
         return eval_all(keys, state)
     bucket = max(min_bucket, 1 << (n_max - 1).bit_length())
@@ -578,7 +625,8 @@ class ShardedSimulator(montecarlo.Simulator):
             keys = jax.vmap(jax.vmap(
                 lambda i: jax.random.fold_in(base, i)))(idx)
             if step is None:
-                sums = run_sharded_two_phase(fns, keys, snr, res)
+                sums = run_sharded_two_phase(fns, keys, snr, res,
+                                             hint=self._tp_hint)
             else:
                 sums = step(keys, snr)
             total = metrics.accumulate(total, sums)

@@ -162,9 +162,12 @@ def main():
                 chans_per_device=1, operator_form=form,
                 use_pallas=use_pallas)
 
+            shard_hint = {}
+
             def step(key, snr):
                 return psweep.run_sharded_two_phase(fns, dev_keys(key),
-                                                    snr, res)
+                                                    snr, res,
+                                                    hint=shard_hint)
         else:
             sstep = psweep.make_sharded_step(cfg, "bamp", "sparc", res, m,
                                              operator_form=form,
