@@ -260,3 +260,38 @@ def test_phase123_overflow_falls_back():
     assert hint["bucket"] > 8        # reseeded from the true count
     for k, v in ref.items():
         assert out[k] == pytest.approx(v, rel=1e-6, abs=1e-9), k
+
+
+def test_run_two_phase_batches_defers_and_falls_back():
+    """The deferred-fetch batch runner accumulates phase123 sums on
+    device with ONE fetch; a too-small bucket is detected via the summed
+    overflow flag and the whole chunk redone on the host path with
+    correct totals."""
+    import jax.numpy as jnp
+    from amp_sparc_spatialmodulation_tpu.models import montecarlo
+    from amp_sparc_spatialmodulation_tpu.utils.metrics import fetch_sums
+    cfg = Config(Nt=16, Na=4, Nr=10, Lin=6, Lh=3, mode="segmented",
+                 alphabet="OOK", profile="uniform", trunc="tail",
+                 iterations=40)
+    res = 128
+    snr = jnp.float32(10 ** ((6.0 + 10 * np.log10(cfg.code_rate)) / 10))
+    keys = [jax.random.PRNGKey(20 + i) for i in range(3)]
+    fns = montecarlo.make_two_phase_fns(cfg, "bamp", "segmented", res, 6,
+                                        operator_form="banded")
+    ref = None
+    from amp_sparc_spatialmodulation_tpu.utils import metrics as M
+    for k in keys:
+        ref = M.accumulate(ref, montecarlo.run_two_phase_realization(
+            fns, k, snr))
+    ref = fetch_sums(ref)
+    # healthy hint: deferred path
+    hint = {"bucket": res}        # cannot overflow
+    out = montecarlo.run_two_phase_batches(fns, keys, snr, hint)
+    for k, v in ref.items():
+        assert out[k] == pytest.approx(v, rel=1e-6, abs=1e-9), k
+    # overflowing hint: falls back, still correct
+    hint = {"bucket": 8}
+    out2 = montecarlo.run_two_phase_batches(fns, keys, snr, hint)
+    for k, v in ref.items():
+        assert out2[k] == pytest.approx(v, rel=1e-6, abs=1e-9), k
+    assert "_overflow" not in out and "_overflow" not in out2
