@@ -78,3 +78,27 @@ def test_tiled_covers_and_decode_integration(monkeypatch):
     out = bamp.decode(op, y, s2, cfg, use_pallas=True)
     np.testing.assert_array_equal(np.asarray(ref.T), np.asarray(out.T))
     assert float(jnp.max(jnp.abs(out.xmmse - ref.xmmse))) < 1e-5
+
+
+def test_tiled_two_phase_composes(monkeypatch, tmp_path):
+    """Continuation batching must compose with the frame-tiled kernel
+    (resumable per-iteration loop): with the whole-frame kernels forced
+    to decline, the two-phase simulator on the tiled path must match
+    the single-phase XLA decode statistics."""
+    from amp_sparc_spatialmodulation_tpu.models.montecarlo import Simulator
+    from amp_sparc_spatialmodulation_tpu.ops.pallas import fused_bamp
+    cfg = Config(Nt=16, Na=4, Nr=10, Lin=8, Lh=3, mode="segmented",
+                 alphabet="OOK", profile="uniform", trunc="tail",
+                 iterations=30)
+    ref = Simulator(cfg, algo="bamp", out_root=str(tmp_path / "a")
+                    ).run_point(7.0, epochs=128, res=32)
+    monkeypatch.setattr(fused_bamp, "_pick_tile", lambda *a, **k: 0)
+    out = Simulator(cfg, algo="bamp", out_root=str(tmp_path / "b"),
+                    two_phase=6, use_pallas=True
+                    ).run_point(7.0, epochs=128, res=32)
+    # tiled fold order differs from XLA -> borderline allclose flips
+    assert out["T"] == pytest.approx(ref["T"], abs=0.5)
+    for k, v in ref.items():
+        if k == "T":
+            continue
+        assert out[k] == pytest.approx(v, rel=1e-3, abs=1e-9), k
