@@ -35,11 +35,21 @@ METRIC_KEYS = ("fer", "nMSE", "nMSEf", "nMSEm", "nMSEL", "ver", "verf",
 
 
 class Decision(NamedTuple):
-    """Hard decision in the same structured form as :class:`Message`."""
+    """Hard decision in the same structured form as :class:`Message`.
+
+    ``ant``/``vals`` (per-segment antenna index and decided symbol VALUE)
+    let the vector-error metrics run on small (B, L) planes instead of
+    comparing the dense reconstruction — exactly equivalent to the
+    ``xhat != x`` compare whenever no symbol equals 0 (true for every
+    published alphabet; value — not symbol-index — comparison preserves
+    the 16QAM duplicate-symbol semantics).  ``None`` for decision rules
+    whose structure doesn't factor that way (random/dumb top-k)."""
 
     xhat: jnp.ndarray   # (B, N) dense decided vector
     gray: jnp.ndarray   # Gray labels of decided symbols (same shape as flat)
     flat: jnp.ndarray   # sorted flat nonzero indices (global over batch)
+    ant: jnp.ndarray | None = None    # (B, L) decided antenna per segment
+    vals: jnp.ndarray | None = None   # (B, L) decided symbol value
 
 
 def _nearest_symbol(vals: jnp.ndarray, symbols: jnp.ndarray) -> jnp.ndarray:
@@ -61,7 +71,8 @@ def segmented_decision(xamp: jnp.ndarray, cfg: Config) -> Decision:
     gray = jnp.asarray(cfg.gray)[sym]
     base = (jnp.arange(B, dtype=jnp.int32)[:, None] * L
             + jnp.arange(L, dtype=jnp.int32)[None, :]) * M
-    return Decision(xhat=xhat, gray=gray, flat=base + ant)
+    return Decision(xhat=xhat, gray=gray, flat=base + ant, ant=ant,
+                    vals=vals)
 
 
 def map_decision(xamp: jnp.ndarray, cfg: Config) -> Decision:
@@ -80,7 +91,8 @@ def map_decision(xamp: jnp.ndarray, cfg: Config) -> Decision:
     gray = jnp.asarray(cfg.gray)[sym]
     base = (jnp.arange(B, dtype=jnp.int32)[:, None] * L
             + jnp.arange(L, dtype=jnp.int32)[None, :]) * M
-    return Decision(xhat=xhat, gray=gray, flat=base + ant)
+    return Decision(xhat=xhat, gray=gray, flat=base + ant, ant=ant,
+                    vals=vals)
 
 
 def random_decision(xamp: jnp.ndarray, cfg: Config) -> Decision:
@@ -182,8 +194,21 @@ def evaluate_sums(xmap: jnp.ndarray, xmmse: jnp.ndarray, msg: Message,
     nmse_l = rsum(d2_use[:, -1])
 
     # --- vector / frame errors (`loss.py:122-151`): exact value mismatch
-    neq = (dec.xhat != x).reshape(B, cfg.Lin, cfg.Nt)
-    err_use = jnp.any(neq, axis=-1)                       # (B, Lin)
+    if dec.ant is not None and all(complex(s) != 0 for s in cfg.symbols):
+        # Factored form: a channel-use block mismatches iff any of its
+        # segments decided a different (antenna, symbol VALUE) pair —
+        # identical to the dense ``xhat != x`` compare when no symbol is
+        # 0 (value comparison keeps the 16QAM duplicate semantics), but
+        # on (B, L) planes instead of materializing the (B, N)
+        # reconstruction.
+        true_vals = jnp.asarray(cfg.symbols)[msg.sym]
+        seg_err = ((dec.ant != msg.ant)
+                   | (dec.vals != true_vals))             # (B, L)
+        err_use = jnp.any(
+            seg_err.reshape(B, cfg.Lin, cfg.Na), axis=-1)  # (B, Lin)
+    else:
+        neq = (dec.xhat != x).reshape(B, cfg.Lin, cfg.Nt)
+        err_use = jnp.any(neq, axis=-1)                   # (B, Lin)
     ver = rsum(err_use)
     verf = rsum(err_use[:, 0])
     verm = rsum(err_use[:, cfg.Lin // 2])
