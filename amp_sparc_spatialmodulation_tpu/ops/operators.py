@@ -115,42 +115,66 @@ class BandedOperator:
         # P[b, c, l, m] = sum_n taps[l, m, n] * x[b, c, n]
         P = jnp.matmul(xb, taps_stack, precision=self.precision).reshape(
             B, self.Lin, self.Lh, self.Nr)
-        y = jnp.zeros((B, self.Lout, self.Nr), P.dtype)
-        for l in range(self.Lh):
-            rows, cols = self._rows(l)
-            if self.trunc == "cyclic":
-                # wrapped rows need the general scatter
+        if self.trunc == "cyclic":
+            # wrapped rows need the general scatter
+            y = jnp.zeros((B, self.Lout, self.Nr), P.dtype)
+            for l in range(self.Lh):
+                rows, cols = self._rows(l)
                 contrib = gains[l, cols][None, :, None] * P[:, cols, l]
                 y = y.at[:, rows].add(contrib)
-            else:
-                # tail/trunc rows and cols are CONTIGUOUS ranges: static
-                # slice-adds fuse in XLA (the index-array form lowered to
-                # a scatter whose scoped-VMEM stack overflows at large
-                # trial batches, e.g. QPSK res=32768).
-                r0, c0 = int(rows[0]), int(cols[0])
-                k = len(cols)
-                contrib = (gains[l, c0:c0 + k][None, :, None]
-                           * P[:, c0:c0 + k, l])
-                y = y.at[:, r0:r0 + k].add(contrib)
-        return y.reshape(B, self.Lout * self.Nr)
+            return y.reshape(B, self.Lout * self.Nr)
+        # tail/trunc rows are contiguous: build each tap's contribution as
+        # a zero-padded full-height plane and ADD — XLA fuses the Lh adds
+        # into one elementwise pass (the index-array scatter form blew the
+        # scoped-VMEM stack at large batches, e.g. QPSK res=32768, and a
+        # dynamic-update-slice chain serialized ~7% of the flagship
+        # realization).
+        z = lambda n: jnp.zeros((B, n, self.Nr), P.dtype)
+        acc = None
+        for l in range(self.Lh):
+            rows, cols = self._rows(l)
+            r0, c0, k = int(rows[0]), int(cols[0]), len(cols)
+            contrib = (gains[l, c0:c0 + k][None, :, None]
+                       * P[:, c0:c0 + k, l])
+            parts = []
+            if r0:
+                parts.append(z(r0))
+            parts.append(contrib)
+            if self.Lout - r0 - k:
+                parts.append(z(self.Lout - r0 - k))
+            plane = (parts[0] if len(parts) == 1
+                     else jnp.concatenate(parts, axis=1))
+            acc = plane if acc is None else acc + plane
+        return acc.reshape(B, self.Lout * self.Nr)
 
     def _bwd(self, z, taps_stack, gains):
         """Adjoint of :meth:`_fwd` (conjugate taps)."""
         B = z.shape[0]
         zb = z.reshape(B, self.Lout, self.Nr)
-        Zl = jnp.zeros((B, self.Lin, self.Lh, self.Nr), zb.dtype)
-        for l in range(self.Lh):
-            rows, cols = self._rows(l)
-            if self.trunc == "cyclic":
+        if self.trunc == "cyclic":
+            Zl = jnp.zeros((B, self.Lin, self.Lh, self.Nr), zb.dtype)
+            for l in range(self.Lh):
+                rows, cols = self._rows(l)
                 Zl = Zl.at[:, cols, l].set(gains[l, cols][None, :, None]
                                            * zb[:, rows])
-            else:
-                # contiguous ranges: static slice-set (see _fwd)
-                r0, c0 = int(rows[0]), int(cols[0])
-                k = len(cols)
-                Zl = Zl.at[:, c0:c0 + k, l].set(
-                    gains[l, c0:c0 + k][None, :, None]
-                    * zb[:, r0:r0 + k])
+        else:
+            # contiguous ranges: per-tap zero-padded slices STACKED on
+            # the tap axis — no scatter, no update-slice chain (see _fwd)
+            zpad = lambda n: jnp.zeros((B, n, self.Nr), zb.dtype)
+            planes = []
+            for l in range(self.Lh):
+                rows, cols = self._rows(l)
+                r0, c0, k = int(rows[0]), int(cols[0]), len(cols)
+                g = gains[l, c0:c0 + k][None, :, None] * zb[:, r0:r0 + k]
+                parts = []
+                if c0:
+                    parts.append(zpad(c0))
+                parts.append(g)
+                if self.Lin - c0 - k:
+                    parts.append(zpad(self.Lin - c0 - k))
+                planes.append(parts[0] if len(parts) == 1
+                              else jnp.concatenate(parts, axis=1))
+            Zl = jnp.stack(planes, axis=2)    # (B, Lin, Lh, Nr)
         r = jnp.matmul(Zl.reshape(B * self.Lin, self.Lh * self.Nr),
                        jnp.conj(taps_stack).T, precision=self.precision)
         return r.reshape(B, self.Lin * self.Nt)
